@@ -1,0 +1,380 @@
+"""Content-stream kernels: operator tokenizer + text state machine.
+
+Mirrors the reference exactly:
+
+- two-pass operator tokenization: recognize operand spans, read the 1-3
+  char operator, re-parse operands with the operator's typed parser
+  (content/operators/mod.rs:86-151).  Unknown operators are skipped with
+  their operands (mod.rs:147).
+- text state machine: BT opens; state/positioning ops pre-apply until the
+  first Tf constructs the text object; showing ops yield
+  ``((e, f), decoded_text)``; ET ends (content/state/text.rs:225-336).
+  Error taxonomy per content/error.rs:6-12.
+- the per-page *text* is the reference's Display-concatenation
+  (examples/text.rs:32-42): ``\\n`` at each BT, then each showing
+  operator's Display.  Display quirks preserved (showing.rs:30-39):
+  ``'`` appends a newline after its string; ``"`` renders its *aw float
+  operand* (not the string!) followed by a newline; TJ renders only its
+  string elements.
+
+All float arithmetic passes through numpy float32 to match the
+reference's f32 math (state/text.rs:115-128).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import lex, objects as ob
+from .errors import ParseError
+
+F32 = np.float32
+_THOUSAND = F32(1000.0)
+
+
+def fmt_f32(value) -> str:
+    """Rust ``{}`` Display for f32: shortest round-trip decimal, positional."""
+    v = F32(value)
+    if np.isnan(v):
+        return "NaN"
+    if np.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    return np.format_float_positional(v, unique=True, trim="-")
+
+
+def _f32(buf: bytes, pos: int):
+    value, pos = ob.parse_real(buf, pos)
+    return F32(value), pos
+
+
+def _rendering_mode(buf: bytes, pos: int):
+    """u8 then 0-7 check (state/text.rs:146-164)."""
+    value, pos = ob.parse_unsigned(buf, pos)
+    if value > 7:
+        raise ParseError("BadRenderingMode", pos)
+    return value, pos
+
+
+def _text_array_element(buf: bytes, pos: int):
+    """string or kerning offset (showing.rs:176-190)."""
+    b = buf[pos : pos + 1]
+    if b == b"(":
+        s, pos = ob.parse_literal_string(buf, pos)
+        return ("str", s), pos
+    if b == b"<":
+        s, pos = ob.parse_hex_string(buf, pos)
+        return ("str", s), pos
+    value, pos = _f32(buf, pos)
+    return ("off", value), pos
+
+
+# Operand signatures, re-parsed from the cursor (operators/mod.rs:120-148).
+def _parse_operands(op: bytes, buf: bytes, pos: int):
+    if op in (b"Tc", b"Tw", b"Tz", b"TL", b"Ts"):
+        value, _ = _f32(buf, pos)
+        return (value,)
+    if op == b"Tf":
+        (name, size), _ = _parse_seq(buf, pos, ob.parse_name, _f32)
+        return (bytes(name), size)
+    if op == b"Tr":
+        value, _ = _rendering_mode(buf, pos)
+        return (value,)
+    if op in (b"Td", b"TD"):
+        (x, y), _ = _parse_seq(buf, pos, _f32, _f32)
+        return (x, y)
+    if op == b"Tm":
+        vals, _ = _parse_seq(buf, pos, _f32, _f32, _f32, _f32, _f32, _f32)
+        return tuple(vals)
+    if op == b"Tj" or op == b"'":
+        s, _ = ob.parse_string(buf, pos)
+        return (s,)
+    if op == b'"':
+        (aw, ac, s), _ = _parse_seq(buf, pos, _f32, _f32, ob.parse_string)
+        return (aw, ac, s)
+    if op == b"TJ":
+        elems, _ = ob.parse_vec(buf, pos, _text_array_element)
+        return (elems,)
+    return ()
+
+
+def _parse_seq(buf: bytes, pos: int, *parsers):
+    """multispace1-separated sequence (the derive's tuple extraction)."""
+    return ob.parse_tuple(buf, pos, *parsers)
+
+
+_KNOWN_OPS = frozenset({
+    b"BT", b"ET", b"Tc", b"Tw", b"Tz", b"TL", b"Tf", b"Tr", b"Ts",
+    b"Td", b"TD", b"Tm", b"T*", b"Tj", b"'", b'"', b"TJ",
+})
+
+_NUM_START = frozenset(b"+-.0123456789")
+
+
+def _recognize_operand(buf: bytes, pos: int) -> int:
+    """Skip one operand without parsing it (operators/mod.rs:91-101)."""
+    b = buf[pos : pos + 1]
+    if not b:
+        raise ParseError("UnexpectedEof", pos)
+    c = b[0]
+    if c == 0x2F:
+        _, _, new_pos = ob.recognize_name(buf, pos)
+        return new_pos
+    if c == 0x5B:
+        return lex.recognize_brackets(buf, pos)[2]
+    if c == 0x28:
+        return lex.recognize_parens(buf, pos)[2]
+    if c == 0x3C:
+        return lex.recognize_angles(buf, pos)[2]
+    if c in _NUM_START:
+        _, new_pos = lex.take_till_delimiter(buf, pos, 1)
+        return new_pos
+    raise ParseError("NotAnOperand", pos)
+
+
+def parse_operator(buf: bytes, pos: int):
+    """One operator: skip operands, read op, re-parse operands
+    (operators/mod.rs:113-151).  Returns ((opname, *operands), new_pos)."""
+    cursor = pos
+    while True:
+        q = lex.skip_ws(buf, pos)
+        try:
+            pos = _recognize_operand(buf, q)
+        except ParseError:
+            break
+    q = lex.skip_ws(buf, pos)
+    op, pos = lex.take_till_delimiter(buf, q, 1, 3)
+    if op in _KNOWN_OPS:
+        operands = _parse_operands(op, buf, cursor)
+        return (op, *operands), pos
+    return (b"NI", op), pos
+
+
+def tokenize(content: bytes):
+    """Iterate operators over a page content stream.
+
+    Returns ``(ops, error)`` - on a parse failure mid-stream, ops so far
+    are kept and the error mirrors the reference tests' full-consumption
+    assertion (tests/content.rs:26-42).
+    """
+    ops = []
+    pos = 0
+    n = len(content)
+    while True:
+        pos = lex.skip_ws(content, pos)
+        if pos >= n:
+            return ops, None
+        try:
+            op, pos = parse_operator(content, pos)
+        except ParseError:
+            return ops, "ContentStreamNotFullyConsumed"
+        ops.append(op)
+
+
+# ---------------------------------------------------------------------------
+# text assembly (Display semantics) + span state machine
+# ---------------------------------------------------------------------------
+
+_STATE_OPS = frozenset({b"Tc", b"Tw", b"Tz", b"TL", b"Tr", b"Ts"})
+_POSITIONING_OPS = frozenset({b"Td", b"TD", b"Tm", b"T*"})
+_SHOWING_OPS = frozenset({b"Tj", b"'", b'"', b"TJ"})
+
+
+class _Matrix:
+    """TextMatrix with f32 affine-translate (state/text.rs:102-128)."""
+
+    __slots__ = ("a", "b", "c", "d", "e", "f")
+
+    def __init__(self):
+        self.a = F32(1.0); self.b = F32(0.0)
+        self.c = F32(0.0); self.d = F32(1.0)
+        self.e = F32(0.0); self.f = F32(0.0)
+
+    def set(self, a, b, c, d, e, f):
+        self.a, self.b, self.c, self.d, self.e, self.f = (
+            F32(a), F32(b), F32(c), F32(d), F32(e), F32(f))
+
+    def move_to(self, x, y):
+        x = F32(x); y = F32(y)
+        self.e = self.a * x + self.c * y + self.e
+        self.f = self.b * x + self.d * y + self.f
+
+    def position(self):
+        return float(self.e), float(self.f)
+
+
+class _Params:
+    """TextStateParameters defaults (state/text.rs:69-80)."""
+
+    __slots__ = ("character_spacing", "word_spacing", "horizontal_scaling",
+                 "leading", "rendering_mode", "rise")
+
+    def __init__(self):
+        self.character_spacing = F32(0.0)
+        self.word_spacing = F32(0.0)
+        self.horizontal_scaling = F32(100.0)
+        self.leading = F32(0.0)
+        self.rendering_mode = 0
+        self.rise = F32(0.0)
+
+
+def _preapply(op, matrix: _Matrix, params: _Params):
+    name = op[0]
+    if name == b"Tc":
+        params.character_spacing = op[1]
+    elif name == b"Tw":
+        params.word_spacing = op[1]
+    elif name == b"Tz":
+        params.horizontal_scaling = op[1]
+    elif name == b"TL":
+        params.leading = op[1]
+    elif name == b"Tr":
+        params.rendering_mode = op[1]
+    elif name == b"Ts":
+        params.rise = op[1]
+    elif name == b"Td":
+        matrix.move_to(op[1], op[2])
+    elif name == b"TD":
+        params.leading = -op[2]
+        matrix.move_to(op[1], op[2])
+    elif name == b"Tm":
+        matrix.set(*op[1:])
+    elif name == b"T*":
+        matrix.move_to(F32(0.0), -params.leading)
+
+
+def page_text_segments(ops):
+    """Pass A - the page's *text* via Display concatenation.
+
+    Returns ``(text, segments)`` where ``segments[op_index]`` is the list
+    of ``(off, len)`` character spans, one per state-machine-yieldable
+    string of that operator.
+    """
+    parts: list[str] = []
+    off = 0
+    segments: dict[int, list[tuple[int, int]]] = {}
+    for idx, op in enumerate(ops):
+        name = op[0]
+        if name == b"BT":
+            parts.append("\n")
+            off += 1
+        elif name == b"Tj":
+            t = ob.decode_pdf_string(op[1])
+            segments[idx] = [(off, len(t))]
+            parts.append(t)
+            off += len(t)
+        elif name == b"'":
+            t = ob.decode_pdf_string(op[1])
+            segments[idx] = [(off, len(t))]
+            parts.append(t)
+            parts.append("\n")
+            off += len(t) + 1
+        elif name == b'"':
+            # Display quirk: the aw operand is rendered, not the string
+            t = fmt_f32(op[1])
+            segments[idx] = [(off, len(t))]
+            parts.append(t)
+            parts.append("\n")
+            off += len(t) + 1
+        elif name == b"TJ":
+            segs = []
+            for kind, value in op[1]:
+                if kind == "str":
+                    t = ob.decode_pdf_string(value)
+                    segs.append((off, len(t)))
+                    parts.append(t)
+                    off += len(t)
+            segments[idx] = segs
+    return "".join(parts), segments
+
+
+def page_spans(ops, segments):
+    """Pass B - the state-machine span pass (state/text.rs:225-336).
+
+    Returns ``(spans, error)``: ``(x, y, off, len)`` per shown string,
+    plus the first structural error exactly where the reference errors
+    (show-before-Tf, BT never followed by Tf, a second Tf inside a text
+    object - the reference's unreachable!()).  Spans collected before the
+    error are kept.
+    """
+    spans: list[tuple[float, float, int, int]] = []
+    n = len(ops)
+    i = 0
+    while True:
+        # skip until BT (state/text.rs:268-281)
+        while i < n and ops[i][0] != b"BT":
+            i += 1
+        if i >= n:
+            return spans, None
+        i += 1
+        # build phase: pre-apply until Tf (state/text.rs:225-262)
+        matrix = _Matrix()
+        params = _Params()
+        while True:
+            if i >= n:
+                return spans, "IncompleteTextObject"
+            op = ops[i]
+            name = op[0]
+            i += 1
+            if name == b"Tf":
+                break
+            if name in _STATE_OPS or name in _POSITIONING_OPS:
+                _preapply(op, matrix, params)
+            elif name in _SHOWING_OPS:
+                return spans, "UnexpectedTextShowingOperator"
+            # everything else (incl. ET, BT, NI) skipped - reference quirk
+        # iteration phase (state/text.rs:314-336)
+        while i < n:
+            op = ops[i]
+            name = op[0]
+            if name == b"ET":
+                i += 1
+                break
+            idx = i
+            i += 1
+            if name == b"Tj":
+                x, y = matrix.position()
+                o, l = segments[idx][0]
+                spans.append((x, y, o, l))
+            elif name == b"'":
+                matrix.move_to(F32(0.0), -params.leading)
+                x, y = matrix.position()
+                o, l = segments[idx][0]
+                spans.append((x, y, o, l))
+            elif name == b'"':
+                matrix.move_to(F32(0.0), -params.leading)
+                params.word_spacing = op[1]
+                params.character_spacing = op[2]
+                x, y = matrix.position()
+                o, l = segments[idx][0]
+                spans.append((x, y, o, l))
+            elif name == b"TJ":
+                seg_iter = iter(segments[idx])
+                for kind, value in op[1]:
+                    if kind == "off":
+                        matrix.move_to(-value / _THOUSAND, F32(0.0))
+                    else:
+                        x, y = matrix.position()
+                        o, l = next(seg_iter)
+                        spans.append((x, y, o, l))
+            elif name == b"Tf":
+                # second Tf inside a text object is the reference's
+                # unreachable!() panic (operators/text/state.rs:77-82)
+                return spans, "SecondTfOperator"
+            elif name in _STATE_OPS or name in _POSITIONING_OPS:
+                _preapply(op, matrix, params)
+            # non-text operators skipped
+        # after ET (or ops exhausted): look for the next BT
+
+
+def extract_page(content: bytes):
+    """Page content bytes -> ``(text, spans, error)``.
+
+    ``spans`` are ``(x, y, off, len)`` with character offsets into the
+    page text.  ``error`` is the first structural error (spans collected
+    so far are kept; text is always produced - matching the fact that the
+    reference's Display path has no Tf requirement).
+    """
+    ops, error = tokenize(content)
+    text, segments = page_text_segments(ops)
+    spans, span_error = page_spans(ops, segments)
+    return text, spans, error or span_error

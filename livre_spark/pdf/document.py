@@ -1,0 +1,284 @@
+"""Document-structure kernels: xref resolution -> object graph -> pages.
+
+Mirrors the reference document-open algorithm (document.rs:88-136), the
+catalog (structure/catalog.rs:110-143), the page tree DFS with inheritable
+property merge (structure/pages.rs:157-239), the page content assembly
+(pages.rs:273-291) and object streams (structure/object_stream.rs).
+
+The whole lifecycle runs on a single in-memory byte string - in the Spark
+engine this is the body of one per-row call inside a ``mapInPandas`` batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import lex, objects as ob, xref as xr
+from .errors import ParseError
+
+_PAGE_LAYOUTS = {b"SinglePage", b"OneColumn", b"TwoColumnLeft",
+                 b"TwoColumnRight", b"TwoPageLeft", b"TwoPageRight"}
+_PAGE_MODES = {b"UseNone", b"UseOutlines", b"UseThumbs", b"FullScreen",
+               b"UseOC", b"UseAttachments"}
+_ROTATIONS = {0, 90, 180, 270}
+
+
+@dataclass
+class InheritableProps:
+    """InheritablePageProperties (pages.rs:157-172)."""
+
+    resources: object | None = None       # Ref | dict - never merged from parent
+    media_box: tuple | None = None
+    crop_box: tuple | None = None
+    rotate: int | None = None
+
+    def merge_with_parent(self, parent: "InheritableProps") -> None:
+        """Parent fills only missing boxes/rotation (pages.rs:174-186).
+
+        Quirk preserved: ``resources`` is NOT inherited in the reference.
+        """
+        if parent.media_box is not None and self.media_box is None:
+            self.media_box = parent.media_box
+        if parent.crop_box is not None and self.crop_box is None:
+            self.crop_box = parent.crop_box
+        if parent.rotate is not None and self.rotate is None:
+            self.rotate = parent.rotate
+
+
+@dataclass
+class Page:
+    props: InheritableProps
+    contents: list[ob.Ref] = field(default_factory=list)
+    user_unit: float = 1.0
+
+
+@dataclass
+class PageTreeNode:
+    props: InheritableProps
+    kids: list[ob.Ref] = field(default_factory=list)
+
+
+@dataclass
+class Catalog:
+    pages: PageTreeNode
+    page_layout: bytes = b"SinglePage"
+    page_mode: bytes = b"UseNone"
+
+
+def _parse_rotation(buf: bytes, pos: int):
+    value, pos = ob.parse_unsigned(buf, pos)
+    if value not in _ROTATIONS:
+        raise ParseError("BadRotation", pos, str(value))
+    return value, pos
+
+
+def _parse_opt_ref(buf: bytes, pos: int, inner):
+    """OptRef<T>: reference first, else inline value (refs/reference.rs:78-101)."""
+    try:
+        return ob.parse_reference(buf, pos)
+    except ParseError:
+        return inner(buf, pos)
+
+
+def _parse_resources(buf: bytes, pos: int):
+    """Resources dict: requires a /Font map of name->ref (pages.rs:17-21)."""
+    raw, new_pos = ob.parse_raw_dict(buf, pos)
+    font_span = raw.pop(b"Font")
+    if font_span is None:
+        raise ParseError("MissingKey", pos, "Font")
+    font_raw, _ = ob.parse_raw_dict(buf, font_span[0])
+    fonts = {}
+    for key, (s, e) in font_raw.entries.items():
+        ref, _ = ob.parse_reference(buf, s)
+        fonts[key] = ref
+    return {"font": fonts}, new_pos
+
+
+def _inheritable_from_raw(raw: ob.RawDict) -> InheritableProps:
+    resources = raw.pop_and_parse(
+        b"Resources", lambda b, p: _parse_opt_ref(b, p, _parse_resources))
+    media_box = raw.pop_and_parse(b"MediaBox", ob.parse_rectangle)
+    crop_box = raw.pop_and_parse(b"CropBox", ob.parse_rectangle)
+    rotate = raw.pop_and_parse(b"Rotate", _parse_rotation)
+    return InheritableProps(resources, media_box, crop_box, rotate)
+
+
+def _page_from_raw(raw: ob.RawDict) -> Page:
+    """Page FromRawDict (pages.rs:241-271): Contents defaults to [],
+    UserUnit defaults to 1.0."""
+    props = _inheritable_from_raw(raw)
+    contents = raw.pop_and_parse(
+        b"Contents", lambda b, p: ob.parse_maybe_array(b, p, ob.parse_reference))
+    user_unit = raw.pop_and_parse(b"UserUnit", ob.parse_real)
+    return Page(props, contents or [], 1.0 if user_unit is None else user_unit)
+
+
+def _page_tree_node_from_raw(raw: ob.RawDict) -> PageTreeNode:
+    """PageTreeNode FromRawDict (pages.rs:199-214): Kids is required."""
+    props = _inheritable_from_raw(raw)
+    kids_span = raw.pop(b"Kids")
+    if kids_span is None:
+        raise ParseError("MissingKey", None, "Kids")
+    kids, _ = ob.parse_maybe_array(raw.buf, kids_span[0], ob.parse_reference)
+    return PageTreeNode(props, kids)
+
+
+def _page_element_from_raw(raw: ob.RawDict):
+    """PageElement dispatch on required /Type (pages.rs:313-327)."""
+    page_type = raw.pop_and_parse(b"Type", ob.parse_name)
+    if page_type is None:
+        raise ParseError("MissingKey", None, "Type")
+    if bytes(page_type) == b"Page":
+        return _page_from_raw(raw)
+    if bytes(page_type) == b"Pages":
+        return _page_tree_node_from_raw(raw)
+    raise ParseError("BadPageType", None, bytes(page_type).decode("latin-1"))
+
+
+@dataclass
+class ObjectStream:
+    """Decoded /ObjStm: id->offset map over post-header content
+    (object_stream.rs:37-92)."""
+
+    offsets: dict[tuple[int, int], int]
+    content: bytes
+    extends: ob.Ref | None
+
+
+def _object_stream_from_stream(doc: "Document", raw: ob.RawDict,
+                               content: bytes) -> ObjectStream:
+    n = raw.require(b"N", ob.parse_unsigned)
+    first = raw.require(b"First", ob.parse_unsigned)
+    extends = raw.pop_and_parse(b"Extends", ob.parse_reference)
+    header, body = content[:first], content[first:]
+    offsets: dict[tuple[int, int], int] = {}
+    pos = 0
+    for _ in range(n):
+        pos = lex.skip_ws(header, pos)
+        obj_id, pos = ob.parse_unsigned(header, pos)
+        pos = lex.skip_ws1(header, pos)
+        off, pos = ob.parse_unsigned(header, pos)
+        offsets[(obj_id, 0)] = off
+    return ObjectStream(offsets, body, extends)
+
+
+class Document:
+    """InMemoryDocument: full bytes + xref map + lazily-built objects
+    (document.rs:36-136)."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.xrefs, root_ref, self.trailer = xr.collect_xrefs(buf)
+        self._objstm_cache: dict[int, ObjectStream] = {}
+        self.catalog = self.build(root_ref, _catalog_parser)
+
+    # -- builder ------------------------------------------------------------
+
+    def build(self, ref: ob.Ref, parser):
+        """build_reference (document.rs:43-81).
+
+        ``parser(doc, buf, pos) -> (value, pos)`` parses the object *value*
+        (no ``N G obj`` wrapper - that is handled here for plain locations,
+        and absent for compressed ones, matching the reference).
+        """
+        loc = self.xrefs.get(ref.id)
+        if loc is None:
+            raise ParseError("DanglingReference", None, str(ref.id))
+        if loc[0] == "plain":
+            offset = loc[1]
+            if offset >= len(self.buf):
+                raise ParseError("BadObjectOffset", offset)
+            rid, value, _ = ob.parse_indirect(
+                self.buf, offset, lambda b, p: parser(self, b, p))
+            return value
+        # compressed: build the owning ObjectStream, then index into it
+        stream_id = loc[1]
+        objstm = self._object_stream(stream_id)
+        off = objstm.offsets.get(ref.id)
+        if off is None:
+            raise ParseError("MissingCompressedObject", None, str(ref.id))
+        value, _ = parser(self, objstm.content, off)
+        return value
+
+    def _object_stream(self, stream_id: int) -> ObjectStream:
+        cached = self._objstm_cache.get(stream_id)
+        if cached is not None:
+            return cached
+        objstm = self.build(ob.Ref(stream_id, 0), _object_stream_parser)
+        self._objstm_cache[stream_id] = objstm
+        return objstm
+
+    # -- page API -------------------------------------------------------------
+
+    def pages(self) -> list[Page]:
+        """DFS page enumeration with property inheritance (pages.rs:218-239)."""
+        return self._list_pages(self.catalog.pages)
+
+    def _list_pages(self, node: PageTreeNode) -> list[Page]:
+        result: list[Page] = []
+        for kid in node.kids:
+            element = self.build(kid, _page_element_parser)
+            element.props.merge_with_parent(node.props)
+            if isinstance(element, Page):
+                result.append(element)
+            else:
+                result.extend(self._list_pages(element))
+        return result
+
+    def build_content(self, page: Page) -> bytes:
+        """Concatenate all decoded /Contents streams, no separator
+        (pages.rs:273-291)."""
+        parts = []
+        for ref in page.contents:
+            parts.append(self.build(ref, _stream_content_parser))
+        return b"".join(parts)
+
+
+# --- typed per-object parsers (the ``Build`` impls) --------------------------
+
+
+def _catalog_parser(doc: Document, buf: bytes, pos: int):
+    """Catalog::build (catalog.rs:110-143)."""
+    raw, new_pos = ob.parse_raw_dict(buf, pos)
+    layout = raw.pop_and_parse(b"PageLayout", ob.parse_name)
+    if layout is not None and bytes(layout) not in _PAGE_LAYOUTS:
+        raise ParseError("BadPageLayout", pos)
+    mode = raw.pop_and_parse(b"PageMode", ob.parse_name)
+    if mode is not None and bytes(mode) not in _PAGE_MODES:
+        raise ParseError("BadPageMode", pos)
+    pages_ref = raw.require(b"Pages", ob.parse_reference)
+    pages = doc.build(pages_ref, _page_tree_parser)
+    if not isinstance(pages, PageTreeNode):
+        raise ParseError("BadPagesNode")
+    catalog = Catalog(pages,
+                      bytes(layout) if layout else b"SinglePage",
+                      bytes(mode) if mode else b"UseNone")
+    return catalog, new_pos
+
+
+def _page_tree_parser(doc: Document, buf: bytes, pos: int):
+    raw, new_pos = ob.parse_raw_dict(buf, pos)
+    raw.pop(b"Type")  # tolerated on the root node
+    return _page_tree_node_from_raw(raw), new_pos
+
+
+def _page_element_parser(doc: Document, buf: bytes, pos: int):
+    raw, new_pos = ob.parse_raw_dict(buf, pos)
+    return _page_element_from_raw(raw), new_pos
+
+
+def _stream_content_parser(doc: Document, buf: bytes, pos: int):
+    raw, p = ob.parse_raw_dict(buf, pos)
+    content, p = ob.parse_stream_from_dict(buf, p, raw)
+    return content, p
+
+
+def _object_stream_parser(doc: Document, buf: bytes, pos: int):
+    raw, p = ob.parse_raw_dict(buf, pos)
+    content, p = ob.parse_stream_from_dict(buf, p, raw)
+    return _object_stream_from_stream(doc, raw, content), p
+
+
+def open_document(buf: bytes) -> Document:
+    """Entry point 1: bytes -> Document (document.rs:88-136)."""
+    return Document(buf)

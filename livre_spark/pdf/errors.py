@@ -27,6 +27,15 @@ class ParseError(Exception):
         super().__init__(msg)
 
 
+class CutError(ParseError):
+    """Non-backtrackable failure (winnow ``ErrMode::Cut``).
+
+    Alternation helpers (``parse_maybe_array``, ``parse_option``, ...)
+    re-raise it instead of trying the next branch, mirroring the
+    reference's cut on e.g. unsupported filters (filtering.rs:50-53).
+    """
+
+
 class ContentError(ParseError):
     """Errors from the content-stream text state machine.
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import zlib
 
-from .errors import ParseError
+from .errors import CutError, ParseError
 
 SUPPORTED = frozenset({b"FlateDecode"})
 
@@ -25,7 +25,7 @@ def check_filter_name(name: bytes) -> bytes:
     if name in SUPPORTED:
         return name
     if name in UNSUPPORTED:
-        raise ParseError("UnsupportedFilter", None, name.decode("latin-1"))
+        raise CutError("UnsupportedFilter", None, name.decode("latin-1"))
     raise ParseError("UnknownFilter", None, name.decode("latin-1"))
 
 

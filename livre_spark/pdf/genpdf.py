@@ -1,0 +1,550 @@
+"""Deterministic synthetic PDF writer.
+
+Produces minimal spec-conformant PDFs whose expected extracted text is
+known *by construction*, covering every feature the reference handles
+(FIXTURES.md section 3): plain xref tables, xref streams, incremental
+updates (/Prev chains, last startxref wins), object streams, FlateDecode,
+literal/hex string escape classes, UTF-16BE strings, all text operators,
+nested page trees with MediaBox inheritance, comments, corrupt inputs.
+
+Everything is seeded - same inputs, same bytes - so golden tests and
+resume-idempotence checks hold across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+from .content import fmt_f32
+
+HEADER = b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n"
+
+
+def esc_literal(raw: bytes) -> bytes:
+    """Escape bytes for a literal string: backslash, parens."""
+    return (raw.replace(b"\\", b"\\\\")
+               .replace(b"(", b"\\(")
+               .replace(b")", b"\\)"))
+
+
+def text_to_show_op(text: str) -> bytes:
+    """Serialize ``text Tj`` such that the decode heuristic recovers it.
+
+    Latin-1-safe text (that does not look like a UTF-16 BOM) is written as
+    an escaped literal string; anything else as a UTF-16BE hex string with
+    BOM.  Raw CR bytes are avoided in literal form (the reference's
+    balanced scan keeps them, but CRLF normalization risk isn't worth it).
+    """
+    use_latin1 = (all(ord(c) <= 0xFF for c in text)
+                  and not text.startswith("\xfe\xff")
+                  and "\r" not in text and text != "")
+    if use_latin1:
+        return b"(" + esc_literal(text.encode("latin-1")) + b") Tj"
+    payload = b"\xfe\xff" + text.encode("utf-16-be")
+    return b"<" + payload.hex().upper().encode() + b"> Tj"
+
+
+class PdfBuilder:
+    """Accumulates numbered objects, then serializes with a chosen xref style."""
+
+    def __init__(self):
+        self.objects: dict[int, bytes] = {}
+        self._next = 1
+
+    def add(self, value: bytes) -> int:
+        oid = self._next
+        self._next += 1
+        self.objects[oid] = value
+        return oid
+
+    def reserve(self) -> int:
+        oid = self._next
+        self._next += 1
+        return oid
+
+    def set(self, oid: int, value: bytes) -> None:
+        self.objects[oid] = value
+
+    def add_stream(self, extra_dict: bytes, content: bytes,
+                   flate: bool = False) -> int:
+        if flate:
+            content = zlib.compress(content)
+            extra_dict += b"/Filter/FlateDecode"
+        d = b"<</Length " + str(len(content)).encode() + extra_dict + b">>"
+        return self.add(d + b"stream\n" + content + b"\nendstream")
+
+    # -- serialization -------------------------------------------------------
+
+    def _body(self, start_offset: int, objstm_ids: set[int] | None = None):
+        """Serialize objects; returns (body_bytes, offsets dict)."""
+        out = bytearray()
+        offsets: dict[int, int] = {}
+        for oid in sorted(self.objects):
+            if objstm_ids and oid in objstm_ids:
+                continue
+            offsets[oid] = start_offset + len(out)
+            out += (str(oid).encode() + b" 0 obj\n"
+                    + self.objects[oid] + b"\nendobj\n")
+        return bytes(out), offsets
+
+    def serialize_plain(self, root: int, prev_pdf: bytes | None = None,
+                        prev_xref_offset: int | None = None) -> bytes:
+        """Plain xref table (trailer_block/plain.rs layout).
+
+        With ``prev_pdf`` this writes an *incremental update* appended to
+        the previous file, with /Prev chaining and a fresh startxref.
+        """
+        base = prev_pdf if prev_pdf is not None else HEADER
+        body, offsets = self._body(len(base))
+        size = max(self.objects) + 1
+        xref_off = len(base) + len(body)
+        xref = bytearray(b"xref\n")
+        if prev_pdf is None:
+            xref += b"0 " + str(size).encode() + b"\n"
+            xref += b"0000000000 65535 f \n"
+            ids = range(1, size)
+        else:
+            xref += b"0 1\n0000000000 65535 f \n"
+            ids = sorted(offsets)
+        if prev_pdf is None:
+            for oid in ids:
+                xref += b"%010d 00000 n \n" % offsets[oid]
+        else:
+            # one subsection per contiguous run of updated ids
+            run: list[int] = []
+            runs: list[list[int]] = []
+            for oid in ids:
+                if run and oid == run[-1] + 1:
+                    run.append(oid)
+                else:
+                    run = [oid]
+                    runs.append(run)
+            for r in runs:
+                xref += (str(r[0]).encode() + b" " + str(len(r)).encode() + b"\n")
+                for oid in r:
+                    xref += b"%010d 00000 n \n" % offsets[oid]
+        trailer = b"trailer\n<</Size " + str(size).encode()
+        trailer += b"/Root " + str(root).encode() + b" 0 R"
+        if prev_xref_offset is not None:
+            trailer += b"/Prev " + str(prev_xref_offset).encode()
+        trailer += b"/ID[<DEADBEEF00112233> <DEADBEEF00112233>]>>\n"
+        tail = (b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n")
+        return base + body + bytes(xref) + trailer + tail, xref_off
+
+    def serialize_xref_stream(self, root: int,
+                              objstm_members: dict[int, int] | None = None) -> bytes:
+        """Cross-reference *stream* (trailer_block/stream.rs layout).
+
+        ``objstm_members`` maps object-id -> (stream_id, index) packed ids
+        that live inside an object stream (type-2 entries).
+        """
+        objstm_members = objstm_members or {}
+        xref_id = self.reserve()
+        body, offsets = self._body(len(HEADER),
+                                   objstm_ids=set(objstm_members))
+        size = xref_id + 1
+        xref_off = len(HEADER) + len(body)
+        # W = [1 4 2]: type, offset/stream-id, gen/index
+        records = bytearray()
+        for oid in range(size):
+            if oid == 0:
+                records += bytes([0]) + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+            elif oid == xref_id:
+                records += bytes([1]) + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+            elif oid in objstm_members:
+                sid, idx = objstm_members[oid]
+                records += bytes([2]) + sid.to_bytes(4, "big") + idx.to_bytes(2, "big")
+            elif oid in offsets:
+                records += bytes([1]) + offsets[oid].to_bytes(4, "big") + (0).to_bytes(2, "big")
+            else:
+                records += bytes([0]) + (0).to_bytes(4, "big") + (0).to_bytes(2, "big")
+        payload = zlib.compress(bytes(records))
+        dict_bytes = (b"<</Type/XRef/W[1 4 2]/Size " + str(size).encode()
+                      + b"/Root " + str(root).encode() + b" 0 R"
+                      + b"/Filter/FlateDecode"
+                      + b"/Length " + str(len(payload)).encode() + b">>")
+        xref_obj = (str(xref_id).encode() + b" 0 obj\n" + dict_bytes
+                    + b"stream\n" + payload + b"\nendstream\nendobj\n")
+        tail = b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+        return HEADER + body + xref_obj + tail, xref_off
+
+
+def make_object_stream(builder: PdfBuilder, values: list[bytes],
+                       flate: bool = True) -> tuple[int, dict[int, int]]:
+    """Pack ``values`` into an /ObjStm; returns (stream_id, member map).
+
+    Member map: object-id -> (stream_id, index) for xref type-2 entries.
+    """
+    ids = [builder.reserve() for _ in values]
+    header = bytearray()
+    payload = bytearray()
+    for oid, value in zip(ids, values):
+        if payload:
+            payload += b"\n"
+        header += (str(oid).encode() + b" " + str(len(payload)).encode() + b" ")
+        payload += value
+    content = bytes(header) + b"\n" + bytes(payload)
+    first = len(header) + 1
+    extra = (b"/Type/ObjStm/N " + str(len(values)).encode()
+             + b"/First " + str(first).encode())
+    sid = builder.add_stream(extra, content, flate=flate)
+    members = {oid: (sid, idx) for idx, oid in enumerate(ids)}
+    return sid, members
+
+
+def build_pdf(page_contents: list[bytes | None], *,
+              xref: str = "plain", flate: bool = False,
+              nested_tree: bool = False, contents_array: bool = False,
+              use_objstm: bool = False, comments: bool = False) -> bytes:
+    """Assemble a document whose pages carry the given content streams.
+
+    ``None`` page content -> page without /Contents (empty page).
+    """
+    b = PdfBuilder()
+    if comments:
+        # a comment object slot: comments live between objects; our body
+        # serializer writes objects back to back, so embed the comment in a
+        # page dict's value region instead (parsed as whitespace by the
+        # reference only *between* tokens; here we keep it between objects
+        # by prepending to the catalog value - simplest legal spot is
+        # before the header's binary-sniff line, handled below)
+        pass
+
+    catalog_id = b.reserve()
+    root_pages_id = b.reserve()
+
+    page_ids = []
+    kid_entries = []
+    for content in page_contents:
+        page_id = b.reserve()
+        page_ids.append(page_id)
+        if content is None:
+            page_dict = (b"<</Type /Page /Parent "
+                         + str(root_pages_id).encode() + b" 0 R>>")
+        else:
+            if contents_array and len(content) > 8:
+                half = len(content) // 2
+                # split only at a whitespace boundary to keep tokens whole
+                while half < len(content) and content[half] not in b" \n":
+                    half += 1
+                c1 = b.add_stream(b"", content[:half], flate=flate)
+                c2 = b.add_stream(b"", content[half:], flate=flate)
+                contents_ref = (b"[" + str(c1).encode() + b" 0 R "
+                                + str(c2).encode() + b" 0 R]")
+            else:
+                cid = b.add_stream(b"", content, flate=flate)
+                contents_ref = str(cid).encode() + b" 0 R"
+            page_dict = (b"<</Type /Page /Parent " + str(root_pages_id).encode()
+                         + b" 0 R /Contents " + contents_ref + b">>")
+        b.set(page_id, page_dict)
+
+    if nested_tree and len(page_ids) > 1:
+        mid = len(page_ids) // 2
+        inner_id = b.add(
+            b"<</Type /Pages /Kids ["
+            + b" ".join(str(p).encode() + b" 0 R" for p in page_ids[mid:])
+            + b"] /Count " + str(len(page_ids) - mid).encode()
+            + b" /CropBox [5 5 600 780]>>")
+        kid_entries = page_ids[:mid] + [inner_id]
+    else:
+        kid_entries = page_ids
+
+    b.set(root_pages_id,
+          b"<</Type /Pages /Kids ["
+          + b" ".join(str(p).encode() + b" 0 R" for p in kid_entries)
+          + b"] /Count " + str(len(page_ids)).encode()
+          + b" /MediaBox [0 0 612 792]>>")
+    b.set(catalog_id, b"<</Type /Catalog /Pages "
+          + str(root_pages_id).encode() + b" 0 R>>")
+
+    if xref == "plain":
+        pdf, _ = b.serialize_plain(catalog_id)
+        return pdf
+    if xref == "stream":
+        if use_objstm:
+            # repack catalog + pages-node into an object stream, remapping
+            # every reference to their new ids first
+            cat_val = b.objects.pop(catalog_id)
+            pages_val = b.objects.pop(root_pages_id)
+            b2 = PdfBuilder()
+            b2._next = b._next
+            b2.objects = dict(b.objects)
+            new_cat, new_pages = b2._next, b2._next + 1
+            remap = {catalog_id: new_cat, root_pages_id: new_pages}
+
+            def fix(value: bytes) -> bytes:
+                for old, new in remap.items():
+                    value = value.replace(
+                        str(old).encode() + b" 0 R", str(new).encode() + b" 0 R")
+                return value
+
+            b2.objects = {oid: fix(v) for oid, v in b2.objects.items()}
+            sid, members = make_object_stream(
+                b2, [fix(cat_val), fix(pages_val)])
+            assert sorted(members) == [new_cat, new_pages]
+            pdf, _ = b2.serialize_xref_stream(new_cat, objstm_members=members)
+            return pdf
+        pdf, _ = b.serialize_xref_stream(catalog_id)
+        return pdf
+    raise ValueError(f"unknown xref style {xref!r}")
+
+
+def build_incremental_pdf(first_page: bytes, second_page: bytes) -> bytes:
+    """Base doc + incremental update that adds a second page.
+
+    Exercises the /Prev chain walk and last-startxref-wins
+    (document.rs:92-130, startxref.rs:22-41).
+
+    Reference quirk honored: duplicate ids across update generations are
+    resolved *older-wins* (document.rs:109-130 collects newest-first into
+    a HashMap where later inserts overwrite), so the update introduces
+    only FRESH ids - a new catalog + new pages node - and the new
+    trailer's /Root points at the new catalog.  Objects from the base
+    section (page one and its content stream) resolve through /Prev.
+    """
+    b = PdfBuilder()
+    catalog_id = b.reserve()
+    pages_id = b.reserve()
+    page1 = b.reserve()
+    c1 = b.add_stream(b"", first_page)
+    b.set(page1, b"<</Type /Page /Parent " + str(pages_id).encode()
+          + b" 0 R /Contents " + str(c1).encode() + b" 0 R>>")
+    b.set(pages_id, b"<</Type /Pages /Kids [" + str(page1).encode()
+          + b" 0 R] /Count 1 /MediaBox [0 0 612 792]>>")
+    b.set(catalog_id, b"<</Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R>>")
+    base_pdf, base_xref_off = b.serialize_plain(catalog_id)
+
+    # update: all-new ids - page two, a new pages node, a new catalog
+    upd = PdfBuilder()
+    upd._next = b._next
+    new_pages_id = upd.reserve()
+    new_catalog_id = upd.reserve()
+    page2 = upd.reserve()
+    c2 = upd.add_stream(b"", second_page)
+    upd.set(page2, b"<</Type /Page /Parent " + str(new_pages_id).encode()
+            + b" 0 R /Contents " + str(c2).encode() + b" 0 R>>")
+    upd.set(new_pages_id, (b"<</Type /Pages /Kids ["
+                           + str(page1).encode() + b" 0 R "
+                           + str(page2).encode() + b" 0 R] /Count 2"
+                           + b" /MediaBox [0 0 612 792]>>"))
+    upd.set(new_catalog_id, b"<</Type /Catalog /Pages "
+            + str(new_pages_id).encode() + b" 0 R>>")
+    pdf, _ = upd.serialize_plain(new_catalog_id, prev_pdf=base_pdf,
+                                 prev_xref_offset=base_xref_off)
+    return pdf
+
+
+# ---------------------------------------------------------------------------
+# fixture cases: (name, pdf_bytes, expected_text, n_pages, expected_error)
+# ---------------------------------------------------------------------------
+
+
+def _simple_content(lines: list[str], x0: float = 72.0, y0: float = 720.0) -> bytes:
+    """One BT..ET per line: ``BT /F1 12 Tf x y Td (line) Tj ET``."""
+    ops = []
+    for i, line in enumerate(lines):
+        ops.append(b"BT /F1 12 Tf "
+                   + fmt_f32(x0).encode() + b" "
+                   + fmt_f32(y0 - 14 * i).encode() + b" Td "
+                   + text_to_show_op(line) + b" ET")
+    return b"\n".join(ops)
+
+
+def _expected_simple(lines: list[str]) -> str:
+    return "".join("\n" + line for line in lines)
+
+
+def fixture_cases() -> list[dict]:
+    """The golden corpus: every case's expected text derives from the
+    reference semantics pinned in SURVEY.md section 1.4 / 2.A."""
+    cases = []
+
+    def case(name, pdf, text, n_pages, error=None):
+        cases.append(dict(name=name, pdf=pdf, text=text,
+                          n_pages=n_pages, error=error))
+
+    lines = ["Hello PDF world", "Second line"]
+    case("plain_xref_single_page",
+         build_pdf([_simple_content(lines)]),
+         _expected_simple(lines), 1)
+
+    case("xref_stream",
+         build_pdf([_simple_content(lines)], xref="stream"),
+         _expected_simple(lines), 1)
+
+    case("object_streams",
+         build_pdf([_simple_content(lines)], xref="stream", use_objstm=True),
+         _expected_simple(lines), 1)
+
+    case("flate_content",
+         build_pdf([_simple_content(lines)], flate=True),
+         _expected_simple(lines), 1)
+
+    case("hybrid_xref_incremental",
+         build_incremental_pdf(_simple_content(["page one"]),
+                               _simple_content(["page two"])),
+         "\npage one\npage two", 2)
+
+    # literal escape classes (literal_string.rs:94-144)
+    esc_content = (b"BT /F1 12 Tf 72 720 Td "
+                   b"(line\\none \\(nested\\) \\\\slash \\0533) Tj ET")
+    case("literal_escapes",
+         build_pdf([esc_content]),
+         "\nline\none (nested) \\slash +3", 1)
+
+    # odd hex digit padded with 0 (hex_string.rs:63-87)
+    case("hex_strings_odd",
+         build_pdf([b"BT /F1 12 Tf 72 720 Td <48656C6C6F2> Tj ET"]),
+         "\nHello ", 1)  # 0x20 from the odd-padded final bigram '2' -> 0x20
+
+    # UTF-16BE BOM decode (strings/mod.rs:73-86)
+    utf16 = "\xfe\xff".encode("latin-1") + "café ☃".encode("utf-16-be")
+    case("utf16_bom_text",
+         build_pdf([b"BT /F1 12 Tf 72 720 Td <" + utf16.hex().upper().encode()
+                    + b"> Tj ET"]),
+         "\ncafé ☃", 1)
+
+    # Latin-1 passthrough of high-bit bytes (strings/mod.rs:87-96)
+    case("latin1_bytes",
+         build_pdf([b"BT /F1 12 Tf 72 720 Td (caf\xe9 \xff) Tj ET"]),
+         "\ncafé ÿ", 1)
+
+    # Type0/Identity-style glyph codes: Latin-1 of raw bytes (README.md:24-26)
+    case("glyph_code_hex",
+         build_pdf([b"BT /F1 12 Tf 72 720 Td <002F0048> Tj ET"]),
+         "\n\x00/\x00H", 1)
+
+    # TJ with kerning offsets: offsets move the matrix, not the text
+    case("tj_kerning",
+         build_pdf([b"BT /F1 12 Tf 72 720 Td"
+                    b" [ (Ker) 40 (ned) -22.5 ( array) ] TJ ET"]),
+         "\nKerned array", 1)
+
+    # positioning ops do not affect text, only span positions
+    case("positioning_ops",
+         build_pdf([b"BT /F1 12 Tf 10 20 Td (a) Tj 5 -6 TD (b) Tj"
+                    b" 1 0 0 1 100 200 Tm (c) Tj T* (d) Tj ET"]),
+         "\nabcd", 1)
+
+    # ' and " newline emission; " renders its aw float (showing.rs:30-39)
+    case("quote_ops_newlines",
+         build_pdf([b"BT /F1 12 Tf 14 TL 72 720 Td (first) Tj"
+                    b" (second) ' 2.5 0.4 (third) \" (tail) Tj ET"]),
+         "\nfirstsecond\n2.5\ntail", 1)
+
+    # state ops before/after Tf are fine; show before Tf is an error row
+    case("state_ops",
+         build_pdf([b"BT 2 Tc 1.5 Tw 110 Tz 13 TL 2 Tr 0.5 Ts"
+                    b" /F1 9 Tf 72 720 Td (ok) Tj ET"]),
+         "\nok", 1)
+
+    case("show_before_tf_error",
+         build_pdf([b"BT 72 720 Td (early) Tj /F1 9 Tf (late) Tj ET"]),
+         "\nearlylate", 1, error="UnexpectedTextShowingOperator")
+
+    case("bt_without_tf_error",
+         build_pdf([b"BT 72 720 Td ET"]),
+         "\n", 1, error="IncompleteTextObject")
+
+    # several text objects; non-text operators interleaved and skipped
+    case("multi_text_objects",
+         build_pdf([b"q 0.9 0 0 0.9 0 0 cm\n"
+                    b"BT /F1 12 Tf 72 720 Td (one) Tj ET\n"
+                    b"0 0 100 100 re W n\n"
+                    b"BT /F2 10 Tf 72 700 Td (two) Tj ET\nQ"]),
+         "\none\ntwo", 1)
+
+    # nested page tree with property inheritance
+    pages4 = [f"tree page {i}" for i in range(4)]
+    case("page_tree_inheritance",
+         build_pdf([_simple_content([p]) for p in pages4], nested_tree=True),
+         "".join("\n" + p for p in pages4), 4)
+
+    # /Contents as array of refs, concatenated in order (pages.rs:273-291)
+    case("maybe_array_contents",
+         build_pdf([_simple_content(["split across streams", "and back"])],
+                   contents_array=True),
+         _expected_simple(["split across streams", "and back"]), 1)
+
+    case("empty_page",
+         build_pdf([None]), "", 1)
+
+    case("multi_page_mixed",
+         build_pdf([_simple_content(["alpha"]), None,
+                    _simple_content(["omega"])], flate=True),
+         "\nalpha\nomega", 3)
+
+    # corrupt inputs: error populated, never an exception
+    good = build_pdf([_simple_content(lines)])
+    case("corrupt_truncated", good[: len(good) // 2], "", 0,
+         error="NoStartXref")
+    case("corrupt_bad_xref_offset",
+         good[:-20] + b"startxref\n999999999\n%%EOF\n", "", 0,
+         error="BadStartXref")
+    bb = PdfBuilder()
+    cat = bb.reserve()
+    pgs = bb.reserve()
+    pg = bb.reserve()
+    cs = bb.add_stream(b"/Filter/DCTDecode", b"BT /F1 1 Tf (x) Tj ET")
+    bb.set(pg, b"<</Type /Page /Parent " + str(pgs).encode()
+           + b" 0 R /Contents " + str(cs).encode() + b" 0 R>>")
+    bb.set(pgs, b"<</Type /Pages /Kids [" + str(pg).encode()
+           + b" 0 R] /Count 1 /MediaBox [0 0 612 792]>>")
+    bb.set(cat, b"<</Type /Catalog /Pages " + str(pgs).encode() + b" 0 R>>")
+    bad_filter_pdf, _ = bb.serialize_plain(cat)
+    case("corrupt_unsupported_filter", bad_filter_pdf,
+         "", 1, error="UnsupportedFilter")
+    case("not_a_pdf", b"<html><body>hello</body></html>", "", 0,
+         error="NoStartXref")
+
+    return cases
+
+
+# ---------------------------------------------------------------------------
+# corpus generator for the Spark pipeline tests & bench
+# ---------------------------------------------------------------------------
+
+_WORDS = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+          "eiusmod tempor incididunt ut labore et dolore magna aliqua").split()
+
+
+def _random_lines(rng: random.Random, n_lines: int) -> list[str]:
+    return [" ".join(rng.choice(_WORDS) for _ in range(rng.randint(3, 9)))
+            for _ in range(n_lines)]
+
+
+def generate_row(i: int, seed: int = 42) -> dict:
+    """One deterministic corpus row (FIXTURES.md section 1).
+
+    ~5% HTML (non-PDF) rows, ~1% truncated PDFs, heavy-tail page counts:
+    90% 1-3 pages, 9% 10-30, 1% 60-200.
+    """
+    rng = random.Random((seed << 32) ^ i)
+    url = f"https://example.org/crawl/{i:08d}.pdf"
+    lang = ("en", "fr", "de", "es", "it")[i % 5]
+    roll = rng.random()
+    if roll < 0.05:
+        html = ("<html><body>" + " ".join(rng.choice(_WORDS) for _ in range(30))
+                + "</body></html>").encode()
+        return dict(url=url, html=html, lang=lang, kind="html",
+                    expected_text=None, n_pages=0)
+    tail = rng.random()
+    if tail < 0.90:
+        n_pages = rng.randint(1, 3)
+    elif tail < 0.99:
+        n_pages = rng.randint(10, 30)
+    else:
+        n_pages = rng.randint(60, 200)
+    pages = [_random_lines(rng, rng.randint(2, 6)) for _ in range(n_pages)]
+    xref_style = "stream" if rng.random() < 0.3 else "plain"
+    flate = rng.random() < 0.5
+    pdf = build_pdf([_simple_content(p) for p in pages],
+                    xref=xref_style, flate=flate)
+    expected = "".join(_expected_simple(p) for p in pages)
+    if roll < 0.06:  # ~1% truncated/corrupt
+        pdf = pdf[: max(16, len(pdf) * 2 // 3)]
+        return dict(url=url, html=pdf, lang=lang, kind="corrupt",
+                    expected_text=None, n_pages=0)
+    return dict(url=url, html=pdf, lang=lang, kind="pdf",
+                expected_text=expected, n_pages=n_pages)

@@ -24,7 +24,7 @@ import re
 from dataclasses import dataclass
 
 from . import lex
-from .errors import ParseError
+from .errors import CutError, ParseError
 from .filters import check_filter_name, decode_chain
 
 # ---------------------------------------------------------------------------
@@ -506,6 +506,8 @@ def parse_maybe_array(buf: bytes, pos: int, item_parser) -> tuple[list, int]:
     try:
         value, pos = item_parser(buf, pos)
         return [value], pos
+    except CutError:
+        raise
     except ParseError:
         return parse_vec(buf, pos, item_parser)
 
@@ -514,6 +516,8 @@ def parse_option(buf: bytes, pos: int, item_parser):
     """value or ``null`` (primitives/option.rs:13-24)."""
     try:
         return item_parser(buf, pos)
+    except CutError:
+        raise
     except ParseError:
         _, pos = parse_null(buf, pos)
         return None, pos

@@ -1,0 +1,94 @@
+"""Golden end-to-end tests: synthetic PDFs with text known by construction."""
+
+import pytest
+
+from livre_spark.pdf import genpdf
+from livre_spark.pdf.api import extract_text, is_pdf
+
+CASES = genpdf.fixture_cases()
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c["name"] for c in CASES])
+def test_fixture_case(case):
+    result = extract_text(case["pdf"])
+    assert result["error"] == case["error"], (case["name"], result["error"])
+    assert result["text"] == case["text"], case["name"]
+    if case["error"] is None:
+        assert result["n_pages"] == case["n_pages"]
+
+
+def test_spans_simple():
+    pdf = genpdf.build_pdf([b"BT /F1 12 Tf 100 700 Td (Hello) Tj ET"])
+    r = extract_text(pdf)
+    assert r["error"] is None
+    assert r["text"] == "\nHello"
+    assert r["spans"] == [
+        {"page": 0, "x": 100.0, "y": 700.0, "off": 1, "len": 5}]
+
+
+def test_spans_positions_tj():
+    pdf = genpdf.build_pdf(
+        [b"BT /F1 12 Tf 10 20 Td [ (ab) 1000 (cd) ] TJ ET"])
+    r = extract_text(pdf)
+    assert r["text"] == "\nabcd"
+    # second segment moved by -1000/1000 = -1 in x
+    assert r["spans"][0]["x"] == 10.0 and r["spans"][0]["off"] == 1
+    assert r["spans"][1]["x"] == 9.0 and r["spans"][1]["off"] == 3
+
+
+def test_spans_quote_newline_positions():
+    pdf = genpdf.build_pdf(
+        [b"BT /F1 12 Tf 14 TL 0 100 Td (a) Tj (b) ' ET"])
+    r = extract_text(pdf)
+    assert r["text"] == "\nab\n"
+    assert r["spans"][0]["y"] == 100.0
+    # ' moves down by the leading before showing
+    assert r["spans"][1]["y"] == 86.0
+
+
+def test_spans_multi_page_offsets():
+    pdf = genpdf.build_pdf([
+        genpdf._simple_content(["one"]),
+        genpdf._simple_content(["two"]),
+    ])
+    r = extract_text(pdf)
+    assert r["text"] == "\none\ntwo"
+    assert [s["page"] for s in r["spans"]] == [0, 1]
+    assert [s["off"] for s in r["spans"]] == [1, 5]
+
+
+def test_byte_identity_across_runs():
+    for i in (0, 7, 31):
+        row = genpdf.generate_row(i)
+        if row["kind"] != "pdf":
+            continue
+        r1 = extract_text(row["html"])
+        r2 = extract_text(row["html"])
+        assert r1["text"] == r2["text"] == row["expected_text"]
+        assert r1["spans"] == r2["spans"]
+        assert r1["error"] is None
+        assert r1["n_pages"] == row["n_pages"]
+
+
+def test_corpus_expected_text():
+    """The generator's expected text matches the kernel output exactly."""
+    ok = err = html = 0
+    for i in range(120):
+        row = genpdf.generate_row(i)
+        r = extract_text(row["html"])
+        if row["kind"] == "pdf":
+            assert r["error"] is None, (i, r["error"])
+            assert r["text"] == row["expected_text"], i
+            ok += 1
+        elif row["kind"] == "html":
+            assert not is_pdf(row["html"])
+            html += 1
+        else:
+            assert r["error"] is not None
+            err += 1
+    assert ok > 90 and html >= 2 and err >= 1
+
+
+def test_is_pdf():
+    assert is_pdf(b"%PDF-1.7\nrest")
+    assert not is_pdf(b"<html>")
