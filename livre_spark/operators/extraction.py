@@ -1,0 +1,97 @@
+"""B7: vectorized extraction - the ``mapInPandas`` batch kernel.
+
+Hosts every parsing kernel from ``livre_spark.pdf`` (SURVEY.md section 2.A).
+One Arrow batch in, one Arrow batch out; no per-row Python ever crosses the
+JVM boundary (the ``input_hint`` mandate).  Per-row failures are contained
+into the ``error`` column - a poisoned PDF must not kill the job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, FloatType,
+    StringType, StructField, StructType,
+)
+
+from ..pdf.api import extract_text, is_pdf
+
+SPAN_TYPE = StructType([
+    StructField("page", IntegerType()),
+    StructField("x", FloatType()),
+    StructField("y", FloatType()),
+    StructField("off", LongType()),
+    StructField("len", LongType()),
+])
+
+EXTRACTED_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("text", StringType()),
+    StructField("n_pages", IntegerType()),
+    StructField("n_spans", IntegerType()),
+    StructField("spans", ArrayType(SPAN_TYPE)),
+    StructField("error", StringType()),
+    StructField("parse_ms", DoubleType()),
+    StructField("bytes_in", LongType()),
+    StructField("partition_id", IntegerType()),
+])
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (url, html) batches -> EXTRACTED_SCHEMA batches."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for batch in batches:
+        urls = batch["url"].tolist()
+        htmls = batch["html"].tolist()
+        rows = {k.name: [] for k in EXTRACTED_SCHEMA.fields}
+        for url, html in zip(urls, htmls):
+            buf = bytes(html) if html is not None else b""
+            if not is_pdf(buf):
+                result = {"text": "", "spans": [], "n_pages": 0,
+                          "error": "NotAPdf", "parse_ms": 0.0}
+            else:
+                result = extract_text(buf)
+            rows["url"].append(url)
+            rows["text"].append(result["text"])
+            rows["n_pages"].append(result["n_pages"])
+            rows["n_spans"].append(len(result["spans"]))
+            rows["spans"].append(result["spans"])
+            rows["error"].append(result["error"])
+            rows["parse_ms"].append(result["parse_ms"])
+            rows["bytes_in"].append(len(buf))
+            rows["partition_id"].append(pid)
+        yield pd.DataFrame(rows)
+
+
+def extract_documents(pages: DataFrame) -> DataFrame:
+    """Run the extraction kernel over a (url, html) DataFrame.
+
+    Columns are pruned to exactly (url, html) before the UDF so Catalyst
+    pushes the projection into the scan (ReadSchema stays 2 columns).
+    """
+    return pages.select("url", "html").mapInPandas(
+        _extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+def pdf_magic_filter(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """B4: JVM-side magic-byte predicate - no Python involved.
+
+    ``substring`` on a binary column stays inside whole-stage codegen and
+    is pushed toward the scan.
+    """
+    return pages.filter(
+        F.decode(F.expr(f"substring({html_col}, 1, 5)"), "ISO-8859-1") == "%PDF-")
+
+
+def explode_spans(extracted: DataFrame) -> DataFrame:
+    """B9: per-span table (url, page, x, y, off, len)."""
+    return (extracted
+            .select("url", F.explode("spans").alias("s"))
+            .select("url", "s.page", "s.x", "s.y", "s.off", "s.len"))
