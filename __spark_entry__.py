@@ -1,38 +1,680 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    - flagship: byte-identity PDF extraction round-trip on sf0.001.
+``queries``  - one entry per implemented operator (SURVEY.md section 2.B plus
+               the training-data operators: dedup / similarity / text
+               analysis / multimodal).
+``oracle_sql`` - DuckDB twins.  Float discipline: no float SUM/AVG (partial
+               aggregation order would break bit-parity) - money is summed
+               in integer cents; per-row float math (cosine etc.) is
+               identical IEEE-754 on both engines and rounded to 6dp.
+
+Queries marked "rows-only" (no oracle entry) are genuinely non-SQL ops:
+the simhash bit-vote aggregate and the multimodal pandas-UDF features.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from livre_spark.functions import dedup as dd
+from livre_spark.functions import similarity as sim
+from livre_spark.functions import textstats as ts
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: PDF extraction round-trip (B7 + byte-identity contract)
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_batches(batches):
+    """Per batch: text -> synthetic PDF -> full extraction kernel -> text.
+
+    The writer guarantees (by construction) that the extracted text is
+    "\\n" + original, so the DuckDB oracle can check byte identity.
+    """
+    import pandas as pd
+
+    from livre_spark.pdf.api import extract_text
+    from livre_spark.pdf.genpdf import build_pdf, text_to_show_op
+
+    for batch in batches:
+        out = {"url": [], "text": [], "n_pages": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            content = (b"BT /F1 12 Tf 72 720 Td "
+                       + text_to_show_op(text) + b" ET")
+            pdf = build_pdf([content])
+            result = extract_text(pdf)
+            out["url"].append(f"pdf://{int(doc_id)}")
+            out["text"].append(result["text"])
+            out["n_pages"].append(result["n_pages"])
+        yield pd.DataFrame(out)
+
+
+def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _roundtrip_batches, schema="url string, text string, n_pages int")
+
+
+SQL_EXTRACT_ROUNDTRIP = """
+SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS url,
+       chr(10) || text AS text,
+       1 AS n_pages
+FROM documents
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract_roundtrip(spark, SF001)
+
+
+# ---------------------------------------------------------------------------
+# B3/B4: projection + filter pushdown
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_quantity") >= 30)
+                      & (F.col("l_returnflag") == "R"))
+            .select("l_orderkey", "l_linenumber",
+                    F.col("l_quantity").cast("long").alias("qty"),
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    .alias("price_cents")))
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS BIGINT) AS qty,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE l_quantity >= 30 AND l_returnflag = 'R'
+"""
+
+
+# B5: size-bucketed partitioning key (the skew-kill bucketing, observable)
+def q_size_bucket(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .withColumn("bucket", F.floor(F.col("n_chars") / F.lit(100.0))
+                        .cast("long"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+SQL_SIZE_BUCKET = """
+SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+# B6: deterministic salting distribution
+def q_salting(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(16)))
+            .groupBy("salt").agg(F.count("*").alias("n")))
+
+
+SQL_SALTING = "SELECT doc_id % 16 AS salt, count(*) AS n FROM documents GROUP BY 1"
+
+
+# B9: explode
+def q_explode_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                    .alias("token"))
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 5))
+
+
+SQL_EXPLODE_TOKENS = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents)
+GROUP BY token HAVING count(*) >= 5
+"""
+
+
+# B11: aggregation rollup (TPC-H Q1 shape, integer-cents discipline)
+def q_agg_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_cents = F.round(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount")) * 100).cast("long")
+    return (li.filter(F.col("l_shipdate") <= F.lit("2024-12-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(cents).alias("sum_base_cents"),
+                 F.sum(disc_cents).alias("sum_disc_cents"),
+                 F.count("*").alias("count_order")))
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# B12: window dedup - latest event per user
+def q_window_latest(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type",
+                    F.round(F.col("value") * 100).cast("long")
+                    .alias("value_cents")))
+
+
+SQL_WINDOW_LATEST = """
+SELECT user_id, event_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+# B13: broadcast inner join + rollup
+def q_join_broadcast(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (orders
+            .join(F.broadcast(customer),
+                  orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation),
+                  customer.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("revenue_cents")))
+
+
+SQL_JOIN_BROADCAST = """
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# B13: anti join - customers with no orders
+def q_anti_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (customer.join(orders, customer.c_custkey == orders.o_custkey,
+                          "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# B13: semi join - parts that appear in some lineitem
+def q_semi_join(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+            .select("p_partkey", "p_brand"))
+
+
+SQL_SEMI_JOIN = """
+SELECT p_partkey, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+# B14: top-k
+def q_topk_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (orders
+            .select("o_orderkey",
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    .alias("price_cents"))
+            .orderBy(F.col("price_cents").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+# B15: set operations
+def q_setops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click") \
+        .select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error") \
+        .select("user_id").distinct()
+    signups = ev.filter(F.col("event_type") == "signup") \
+        .select("user_id").distinct()
+    return clickers.exceptAll(erroring).intersect(signups) \
+        .union(clickers.intersect(erroring).exceptAll(signups)) \
+        .distinct()
+
+
+SQL_SETOPS = """
+(SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+ EXCEPT
+ SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+UNION
+((SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+ EXCEPT
+ SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+"""
+
+
+# B16: dedup / distinct
+def q_distinct(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("lang", "source").distinct()
+
+
+SQL_DISTINCT = "SELECT DISTINCT lang, source FROM documents"
+
+
+# B17: scalar string/date/math functions
+def q_scalar_functions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter(F.col("event_id") % 97 == 0)
+            .select("event_id",
+                    F.to_date(F.col("ts")).alias("day"),
+                    F.upper(F.col("event_type")).alias("type_upper"),
+                    F.length(F.col("props")).alias("props_len"),
+                    F.md5(F.col("event_type")).alias("type_md5"),
+                    F.round(F.col("value") * 100).cast("long")
+                    .alias("value_cents"),
+                    F.pmod(F.col("user_id"), F.lit(7)).alias("user_mod")))
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT event_id, CAST(ts AS DATE) AS day,
+       upper(event_type) AS type_upper,
+       length(props) AS props_len,
+       md5(event_type) AS type_md5,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       user_id % 7 AS user_mod
+FROM events WHERE event_id % 97 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ts.token_count(F.col("text")).alias("n_tokens"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       ts.quality_score(F.col("text")).alias("quality"))
+
+
+# mechanically parallel to textstats.quality_score
+SQL_QUALITY_SCORE = """
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE)
+             AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS DOUBLE) AS n_punct
+  FROM documents)
+SELECT doc_id,
+       round(least(n_chars / 1000.0, 1.0) * 0.5
+             + least(CASE WHEN n_tokens > 0 THEN n_chars / n_tokens
+                          ELSE 0.0 END / 10.0, 1.0) * 0.3
+             + (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                            ELSE 0.0 END * 10.0, 1.0)) * 0.2, 6) AS quality
+FROM q
+"""
+
+
+def q_lang_guess(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ts.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+def _occ_sql(probe: str) -> str:
+    return (f"(length(p) - length(replace(p, '{probe}', '')))"
+            f" // {len(probe)}")
+
+
+SQL_LANG_GUESS = f"""
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+scores AS (
+  SELECT doc_id,
+    {_occ_sql(' the ')} + {_occ_sql(' and ')} + {_occ_sql(' of ')} AS en,
+    {_occ_sql(' le ')} + {_occ_sql(' et ')} + {_occ_sql(' les ')} AS fr,
+    {_occ_sql(' der ')} + {_occ_sql(' und ')} + {_occ_sql(' die ')} AS de
+  FROM padded)
+SELECT doc_id,
+       CASE WHEN en >= fr AND en >= de THEN 'en'
+            WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang_guess
+FROM scores
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup keyed on a normalized prefix (full-text md5 has no
+    collisions in the synthetic corpus; the 20-char prefix does)."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.withColumn("fp", F.md5(F.substring(F.col("text"), 1, 20)))
+    return (keyed.groupBy("fp")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keep_id"))
+            .filter(F.col("n_dups") > 1))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(substr(text, 1, 20)) AS fp, count(*) AS n_dups,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+# shared shingle SQL fragment (k = 3, mechanically parallel to dedup.shingles)
+_SH_SQL = """
+  SELECT doc_id,
+    CASE WHEN len(w) < 3 THEN []
+         ELSE list_transform(generate_series(0, len(w) - 3),
+                             i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))
+    END AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)
+"""
+
+
+def _mh_sql(i: int) -> str:
+    return (f"coalesce(list_min(list_transform(sh, s -> "
+            f"('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT)), -1)")
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", *[c for c in dd.minhash_signature(F.col("text"), 4, 3)])
+
+
+SQL_DEDUP_MINHASH_SIG = f"""
+WITH sh AS ({_SH_SQL})
+SELECT doc_id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+       {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
+FROM sh
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, n_hashes=4, bands=2, k=3)
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH sh AS ({_SH_SQL}),
+sig AS (SELECT doc_id AS id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+               {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3 FROM sh),
+buckets AS (
+  SELECT id, 0 AS band,
+         md5(CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR)) AS bucket
+  FROM sig
+  UNION ALL
+  SELECT id, 1 AS band,
+         md5(CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR)) AS bucket
+  FROM sig)
+SELECT DISTINCT l.id AS id_a, r.id AS id_b
+FROM buckets l JOIN buckets r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS ({_SH_SQL}),
+toks AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS tok FROM sh),
+sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash per document - rows-only check (the 60-bit vote aggregate
+    is not reasonably expressible in ANSI SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       dd.simhash64(F.col("text"), k=1).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+            f" / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+            f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))")
+
+
+def q_sim_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("qv"))
+    return (emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(query))
+            .select("vec_id",
+                    F.round(sim.cosine(F.col("embedding"), F.col("qv")), 6)
+                    .alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            .limit(10))
+
+
+SQL_SIM_TOPK = f"""
+SELECT e.vec_id, round({_cos_sql('e.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM embeddings e,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id != 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_sim_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(emb, threshold=0.45)
+
+
+SQL_SIM_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+"""
+
+
+def q_sim_topk_lsh(spark, sf_dir):
+    """ANN via random-hyperplane LSH bucket pruning, then exact cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.topk_cosine_lsh(emb.filter(F.col("vec_id") != 0), qv,
+                               k=10, n_planes=6)
+
+
+def _lsh_oracle_sql() -> str:
+    """Generate the LSH oracle with the same literal hyperplanes."""
+    planes = sim.hyperplanes(64, 6, 42)
+    bit_terms = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ",".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        bit_terms.append(
+            f"(CASE WHEN list_dot_product(e.embedding::DOUBLE[], {arr}) >= 0"
+            f" THEN {2 ** j} ELSE 0 END)")
+    sig = " + ".join(bit_terms)
+    qsig = sig.replace("e.embedding", "q.embedding")
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_cos_sql('e.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id != 0 AND ({sig}) = (SELECT {qsig} FROM q q2
+                                   , (SELECT embedding FROM embeddings
+                                      WHERE vec_id = 0) q)
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal (binary columns; decode stubbed - rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Treat document text bytes as an opaque media payload and run the
+    vectorized feature-extraction plumbing (deterministic fake decode)."""
+    from livre_spark.functions.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.lit("image").alias("kind"),
+                        F.encode(F.col("text"), "UTF-8").alias("content"))
+    feats = extract_media_features(media, fake=True)
+    return feats.select("media_id", "kind", "n_bytes", "width", "height",
+                        F.round(F.element_at("features", 1), 6).alias("f0"),
+                        "error")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_roundtrip": q_extract_roundtrip,
+        "filter_project": q_filter_project,
+        "size_bucket": q_size_bucket,
+        "salting": q_salting,
+        "explode_tokens": q_explode_tokens,
+        "agg_pricing": q_agg_pricing,
+        "window_latest": q_window_latest,
+        "join_broadcast": q_join_broadcast,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "topk_orders": q_topk_orders,
+        "setops": q_setops,
+        "distinct": q_distinct,
+        "scalar_functions": q_scalar_functions,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_guess": q_lang_guess,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk": q_sim_topk,
+        "sim_near_dup": q_sim_near_dup,
+        "sim_topk_lsh": q_sim_topk_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
+        "filter_project": SQL_FILTER_PROJECT,
+        "size_bucket": SQL_SIZE_BUCKET,
+        "salting": SQL_SALTING,
+        "explode_tokens": SQL_EXPLODE_TOKENS,
+        "agg_pricing": SQL_AGG_PRICING,
+        "window_latest": SQL_WINDOW_LATEST,
+        "join_broadcast": SQL_JOIN_BROADCAST,
+        "anti_join": SQL_ANTI_JOIN,
+        "semi_join": SQL_SEMI_JOIN,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "setops": SQL_SETOPS,
+        "distinct": SQL_DISTINCT,
+        "scalar_functions": SQL_SCALAR_FUNCTIONS,
+        "token_count": SQL_TOKEN_COUNT,
+        "quality_score": SQL_QUALITY_SCORE,
+        "lang_guess": SQL_LANG_GUESS,
+        "fingerprint": SQL_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "sim_topk": SQL_SIM_TOPK,
+        "sim_near_dup": SQL_SIM_NEAR_DUP,
+        "sim_topk_lsh": _lsh_oracle_sql(),
+        # rows-only (non-SQL): dedup_simhash, multimodal_features
+    }

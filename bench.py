@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "docs/sec (PDF-to-text)", "value": <docs/sec at full cores>,
+   "unit": "docs/sec", "queries": {<name>: sec, ...}, "sf": <sf>,
+   "scaling": {"cores_n": 8, "cores_4n": 32, "docs_per_sec_n": ...,
+               "docs_per_sec_4n": ..., "efficiency": ...}}
+
+Two phases:
+
+1. **Extraction scaling** (the north rule's two-cluster-size criterion,
+   evidenced in-sandbox by two parallelism levels): the same synthetic PDF
+   corpus is extracted end-to-end at local[N] and local[4N]; docs/sec at
+   both and efficiency = rate_4N / (4 * rate_N) are reported and written
+   to BENCH/BASELINE.md.
+2. **Headline relational queries** at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+The PDF corpus is deterministic (seeded), generated in parallel via Spark
+and cached under .bench_cache/ keyed by (n_docs, seed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+SEED = 42
+CACHE = os.path.join(REPO, ".bench_cache")
+
+HEADLINE = [
+    "extract_roundtrip", "agg_pricing", "window_latest", "join_broadcast",
+    "topk_orders", "explode_tokens", "token_count", "quality_score",
+    "dedup_minhash_lsh", "sim_topk", "sim_near_dup", "dedup_simhash",
+]
+
+
+def _gen_batches(batches):
+    import pandas as pd
+
+    from livre_spark.pdf.genpdf import generate_row
+
+    for batch in batches:
+        rows = {"url": [], "html": [], "text": [], "lang": []}
+        for i in batch["id"]:
+            row = generate_row(int(i), SEED)
+            rows["url"].append(row["url"])
+            rows["html"].append(row["html"])
+            rows["text"].append("")
+            rows["lang"].append(row["lang"])
+        yield pd.DataFrame(rows)
+
+
+def ensure_corpus(spark, n_docs: int) -> str:
+    """Generate (once) the bench corpus in parallel; returns its path."""
+    import pyspark.sql.functions as F
+
+    path = os.path.join(CACHE, f"corpus_n{n_docs}_s{SEED}")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    (spark.range(n_docs).repartition(CPUS * 4)
+     .mapInPandas(_gen_batches,
+                  schema="url string, html binary, text string, lang string")
+     .withColumn("warc_ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+     .select("url", "warc_ts", "html", "text", "lang")
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
+def run_extraction(cores: int, corpus_path: str) -> tuple[float, int]:
+    """One full pipeline run at local[cores]; returns (seconds, docs)."""
+    from livre_spark.plans.job import build_session, run_pipeline
+
+    spark = build_session(app_name=f"bench-{cores}", cores=cores,
+                          shuffle_partitions=max(cores * 2, 8))
+    try:
+        out = tempfile.mkdtemp(prefix=f"bench_out_{cores}_")
+        t0 = time.perf_counter()
+        info = run_pipeline(spark, corpus_path, out, dedup_snapshots=False,
+                            write_spans=False)
+        dt = time.perf_counter() - t0
+        shutil.rmtree(out, ignore_errors=True)
+        return dt, info["n_docs"]
+    finally:
+        spark.stop()
+
+
+def run_headline_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    queries = em.queries()
+    timings = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    from livre_spark.plans.job import build_session
+
+    os.makedirs(CACHE, exist_ok=True)
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    # phase 0: corpus (generated at full parallelism, cached)
+    spark = build_session(app_name="bench-gen", cores=CPUS,
+                          shuffle_partitions=CPUS * 2)
+    corpus = ensure_corpus(spark, N_DOCS)
+
+    # phase 2 first (reuses the running full-core session): headline queries
+    timings = run_headline_queries(spark)
+    spark.stop()
+
+    # phase 1: extraction scaling N vs 4N
+    cores_n = max(2, CPUS // 4)
+    dt_n, docs_n = run_extraction(cores_n, corpus)
+    dt_4n, docs_4n = run_extraction(CPUS, corpus)
+    rate_n = docs_n / dt_n
+    rate_4n = docs_4n / dt_4n
+    factor = CPUS / cores_n
+    efficiency = rate_4n / (factor * rate_n)
+
+    result = {
+        "metric": "docs/sec (PDF-to-text)",
+        "value": round(rate_4n, 1),
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": sf,
+        "scaling": {
+            "corpus_docs": N_DOCS,
+            "cores_n": cores_n,
+            "cores_4n": CPUS,
+            "seconds_n": round(dt_n, 2),
+            "seconds_4n": round(dt_4n, 2),
+            "docs_per_sec_n": round(rate_n, 1),
+            "docs_per_sec_4n": round(rate_4n, 1),
+            "efficiency": round(efficiency, 3),
+        },
+    }
+    _write_baseline_md(result)
+    print(json.dumps(result))
+
+
+def _write_baseline_md(result: dict) -> None:
+    s = result["scaling"]
+    md = f"""# BENCH baseline - measured
+
+Deterministic synthetic PDF corpus ({s['corpus_docs']} docs, seed={SEED},
+heavy-tail page counts), full pipeline (read -> magic filter -> skew
+repartition -> mapInPandas extraction -> text+metrics sinks).
+
+| run | parallelism | docs | seconds | docs/sec |
+|---|---|---|---|---|
+| bench-N  | local[{s['cores_n']}]  | {s['corpus_docs']} | {s['seconds_n']} | {s['docs_per_sec_n']} |
+| bench-4N | local[{s['cores_4n']}] | {s['corpus_docs']} | {s['seconds_4n']} | {s['docs_per_sec_4n']} |
+
+**Scaling efficiency (N -> 4N): {s['efficiency']}** (target >= 0.8)
+
+Headline query timings at sf={result['sf']} (local[{s['cores_4n']}]):
+
+| query | seconds |
+|---|---|
+""" + "\n".join(f"| {k} | {v} |" for k, v in result["queries"].items()) + "\n"
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    main()

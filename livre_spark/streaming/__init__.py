@@ -1,0 +1,66 @@
+"""B20: incremental ingest via Structured Streaming.
+
+The reference has no streaming (a single document in memory); the input
+table is a static snapshot, so streaming is optional - micro-batch resume
+(checkpoint anti-join, operators/checkpoint.py) covers incremental crawls.
+This wrapper exists for continuously-landing crawl data: ``readStream``
+over the pages directory -> ``foreachBatch`` reusing the exact same batch
+pipeline (same kernels, same skew handling), with a watermark on
+``warc_ts`` for late snapshots.
+
+Design note for scale: ``foreachBatch`` (not ``writeStream`` operators)
+because the extraction stage needs the skew repartition + multi-sink
+fan-out, which are batch-DataFrame shaped.  Exactly-once comes from the
+streaming checkpoint + the idempotent manifest anti-join, not from sink
+transactions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.checkpoint import append_manifest, filter_done
+from ..operators.extraction import extract_documents, pdf_magic_filter
+from ..operators.skew import size_bucketed_repartition
+from ..sources import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, source_dir: str,
+                 max_files_per_trigger: int = 16) -> DataFrame:
+    """readStream over a parquet drop-directory of crawl pages."""
+    return (spark.readStream
+            .schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(source_dir)
+            .withWatermark("warc_ts", "1 day"))
+
+
+def start_extraction_stream(spark: SparkSession, source_dir: str,
+                            output_dir: str, checkpoint_dir: str,
+                            trigger_once: bool = True):
+    """Continuous extraction: each micro-batch runs the batch pipeline."""
+    import os
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pages = pdf_magic_filter(batch_df)
+        pages = filter_done(pages, checkpoint_dir)
+        pages = size_bucketed_repartition(pages)
+        extracted = extract_documents(pages)
+        extracted.persist()
+        try:
+            (extracted
+             .select("url", "text", "n_pages", "n_spans", "error", "parse_ms")
+             .write.mode("append")
+             .parquet(os.path.join(output_dir, "documents_text")))
+            append_manifest(extracted, checkpoint_dir)
+        finally:
+            extracted.unpersist()
+
+    writer = (stream_pages(spark, source_dir)
+              .writeStream
+              .option("checkpointLocation",
+                      f"{checkpoint_dir}/stream_checkpoint")
+              .foreachBatch(process_batch))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,125 @@
+"""Unit tests for the training-data function modules (small local frames)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from livre_spark.functions import dedup as dd
+from livre_spark.functions import similarity as sim
+from livre_spark.functions import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text with no overlap here at all"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, ""),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", ts.token_count(F.col("text")).alias("n")).collect()}
+    assert got == {0: 9, 1: 9, 2: 9, 3: 9, 4: 0, 5: 1}
+
+
+def test_exact_duplicate_groups(spark, docs):
+    groups = dd.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2
+    assert groups[0]["keep_id"] == 0
+
+
+def test_shingles(spark, docs):
+    row = docs.filter("doc_id = 5").select(
+        dd.shingles(F.col("text"), 3).alias("sh")).first()
+    assert row["sh"] == []  # fewer words than k
+    row = docs.filter("doc_id = 0").select(
+        dd.shingles(F.col("text"), 3).alias("sh")).first()
+    assert row["sh"][0] == "the quick brown"
+    assert len(row["sh"]) == 7
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dd.minhash_lsh_pairs(docs, n_hashes=8, bands=4).collect()}
+    assert (0, 3) in pairs            # exact dups always collide
+    assert (0, 2) not in pairs        # disjoint text never collides
+    assert (2, 3) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert pairs[(0, 3)] == 1.0       # identical
+    assert (0, 1) in pairs            # one word differs -> high jaccard
+    assert (0, 2) not in pairs
+
+
+def test_simhash_similarity(spark, docs):
+    got = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", dd.simhash64(F.col("text"), k=1).alias("sh")).collect()}
+    assert got[0] == got[3]           # identical docs -> identical simhash
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[0], got[1]) < hamming(got[0], got[2])
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_topk_cosine(spark, embeddings):
+    got = sim.topk_cosine(embeddings.filter("vec_id != 0"),
+                          [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in got] == [1, 4, 2]
+    assert got[0]["cos_sim"] > 0.99
+
+
+def test_cosine_near_dup_pairs(spark, embeddings):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             sim.cosine_near_dup_pairs(embeddings, threshold=0.95).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    got = sim.topk_cosine_lsh(embeddings.filter("vec_id != 0"),
+                              [1.0, 0.0, 0.0, 0.0], k=3, n_planes=2).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 1 in ids                   # the nearest neighbour is in the bucket
+    assert 3 not in ids               # the opposite vector is not
+
+
+def test_multimodal_plumbing(spark):
+    from livre_spark.functions.multimodal import (
+        FEATURE_DIM, decode_image, extract_media_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x00\x01" * 50)),
+         (2, "image", bytearray(b"\xff" * 10))],
+        "media_id long, kind string, content binary")
+    got = {r["media_id"]: r for r in
+           extract_media_features(media, fake=True).collect()}
+    assert len(got[1]["features"]) == FEATURE_DIM
+    assert abs(sum(got[1]["features"]) - 1.0) < 1e-6
+    assert got[1]["error"] is None
+    assert got[2]["features"][15] == 1.0  # all-0xff payload -> last bucket
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
