@@ -35,7 +35,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
 SEED = 42
 CACHE = os.path.join(REPO, ".bench_cache")
 
@@ -81,19 +81,35 @@ def ensure_corpus(spark, n_docs: int) -> str:
 
 
 def run_extraction(cores: int, corpus_path: str) -> tuple[float, int]:
-    """One full pipeline run at local[cores]; returns (seconds, docs)."""
-    from livre_spark.plans.job import build_session, run_pipeline
+    """One extraction run at local[cores]; returns (seconds, docs).
+
+    Measures the core path as a SINGLE Spark action (scan -> magic filter
+    -> skew repartition -> mapInPandas extraction -> parquet write) so the
+    scaling numbers reflect the compute, not per-job scheduling overhead.
+    """
+    from pyspark.sql import functions as F
+
+    from livre_spark.operators.extraction import (
+        extract_documents, pdf_magic_filter,
+    )
+    from livre_spark.operators.skew import size_bucketed_repartition
+    from livre_spark.plans.job import build_session
 
     spark = build_session(app_name=f"bench-{cores}", cores=cores,
                           shuffle_partitions=max(cores * 2, 8))
     try:
         out = tempfile.mkdtemp(prefix=f"bench_out_{cores}_")
+        pages = spark.read.parquet(corpus_path)
+        pages = pdf_magic_filter(pages)
+        pages = size_bucketed_repartition(pages)
+        extracted = extract_documents(pages)
         t0 = time.perf_counter()
-        info = run_pipeline(spark, corpus_path, out, dedup_snapshots=False,
-                            write_spans=False)
+        (extracted.select("url", "text", "n_pages", "n_spans", "error")
+         .write.mode("overwrite").parquet(os.path.join(out, "text")))
         dt = time.perf_counter() - t0
+        n_docs = spark.read.parquet(os.path.join(out, "text")).count()
         shutil.rmtree(out, ignore_errors=True)
-        return dt, info["n_docs"]
+        return dt, n_docs
     finally:
         spark.stop()
 

@@ -131,16 +131,21 @@ def _recognize_operand(buf: bytes, pos: int) -> int:
     raise ParseError("NotAnOperand", pos)
 
 
+_OPERAND_START = frozenset(b"/[(<+-.0123456789")
+
+
 def parse_operator(buf: bytes, pos: int):
     """One operator: skip operands, read op, re-parse operands
     (operators/mod.rs:113-151).  Returns ((opname, *operands), new_pos)."""
     cursor = pos
+    n = len(buf)
     while True:
         q = lex.skip_ws(buf, pos)
-        try:
-            pos = _recognize_operand(buf, q)
-        except ParseError:
+        # cheap peek instead of exception-driven control flow; the byte
+        # classes here are exactly _recognize_operand's dispatch set
+        if q >= n or buf[q] not in _OPERAND_START:
             break
+        pos = _recognize_operand(buf, q)
     q = lex.skip_ws(buf, pos)
     op, pos = lex.take_till_delimiter(buf, q, 1, 3)
     if op in _KNOWN_OPS:

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the extraction pipeline.
+
+Cluster usage (north rule: ships via --py-files):
+
+    cd /root/repo && zip -qr /tmp/engine.zip livre_spark
+    spark-submit --py-files /tmp/engine.zip scripts/run_extraction.py \\
+        --input <pages table or parquet path> \\
+        --output <output dir / Iceberg namespace> \\
+        --checkpoint <manifest dir>            # enables idempotent resume
+
+On a real cluster drop the --master handling below (spark-submit sets it)
+and size spark.sql.shuffle.partitions to ~2-3x total executor cores.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="livre-spark extraction job")
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--no-spans", action="store_true")
+    parser.add_argument("--no-dedup", action="store_true")
+    parser.add_argument("--local-cores", default=None,
+                        help="run on local[N] (sandbox); omit on a cluster")
+    args = parser.parse_args()
+
+    if args.local_cores:
+        from livre_spark.plans.job import build_session
+        spark = build_session(app_name="livre-spark-extract",
+                              cores=args.local_cores)
+    else:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.appName("livre-spark-extract")
+                 .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+                 .config("spark.sql.adaptive.enabled", "true")
+                 .getOrCreate())
+
+    from livre_spark.plans.job import run_pipeline
+
+    info = run_pipeline(spark, args.input, args.output,
+                        checkpoint_dir=args.checkpoint,
+                        dedup_snapshots=not args.no_dedup,
+                        write_spans=not args.no_spans)
+    print(info)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
