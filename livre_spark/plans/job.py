@@ -37,7 +37,7 @@ def build_session(app_name: str = "livre-spark", cores: str | int = "*",
                .config("spark.sql.shuffle.partitions",
                        str(shuffle_partitions or max(2 * n, 8)))
                .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-               .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+               .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
                .config("spark.sql.adaptive.enabled", "true")
                .config("spark.driver.memory", os.environ.get(
                    "SPARK_GRAFT_DRIVER_MEM", "8g"))
