@@ -68,38 +68,47 @@ def _text_array_element(buf: bytes, pos: int):
     return ("off", value), pos
 
 
-# Operand signatures, re-parsed from the cursor (operators/mod.rs:120-148).
-def _parse_operands(op: bytes, buf: bytes, pos: int):
-    if op in (b"Tc", b"Tw", b"Tz", b"TL", b"Ts"):
-        value, _ = _f32(buf, pos)
-        return (value,)
-    if op == b"Tf":
-        (name, size), _ = _parse_seq(buf, pos, ob.parse_name, _f32)
-        return (bytes(name), size)
-    if op == b"Tr":
-        value, _ = _rendering_mode(buf, pos)
-        return (value,)
-    if op in (b"Td", b"TD"):
-        (x, y), _ = _parse_seq(buf, pos, _f32, _f32)
-        return (x, y)
-    if op == b"Tm":
-        vals, _ = _parse_seq(buf, pos, _f32, _f32, _f32, _f32, _f32, _f32)
-        return tuple(vals)
-    if op == b"Tj" or op == b"'":
-        s, _ = ob.parse_string(buf, pos)
-        return (s,)
-    if op == b'"':
-        (aw, ac, s), _ = _parse_seq(buf, pos, _f32, _f32, ob.parse_string)
-        return (aw, ac, s)
-    if op == b"TJ":
-        elems, _ = ob.parse_vec(buf, pos, _text_array_element)
-        return (elems,)
-    return ()
+# Operand signatures, re-parsed from the recognized operand positions
+# (operators/mod.rs:120-148).  The reference re-parses from the cursor with
+# multispace1-separated typed parsers; parsing each operand at its already
+# recognized start offset is equivalent PROVIDED consecutive used operands
+# are whitespace-separated - _typed() enforces that gap check so adjacent
+# operands (zero whitespace) fail exactly like the reference's tuple parse.
+_OPERAND_SIGS = {
+    b"Tc": ("f",), b"Tw": ("f",), b"Tz": ("f",), b"TL": ("f",),
+    b"Ts": ("f",), b"Tf": ("n", "f"), b"Tr": ("r",),
+    b"Td": ("f", "f"), b"TD": ("f", "f"),
+    b"Tm": ("f",) * 6,
+    b"Tj": ("s",), b"'": ("s",), b'"': ("f", "f", "s"),
+    b"TJ": ("a",),
+}
 
 
-def _parse_seq(buf: bytes, pos: int, *parsers):
-    """multispace1-separated sequence (the derive's tuple extraction)."""
-    return ob.parse_tuple(buf, pos, *parsers)
+def _parse_operands(op: bytes, buf: bytes, spans: list[int]):
+    sig = _OPERAND_SIGS.get(op)
+    if sig is None:  # BT / ET / T*
+        return ()
+    if len(spans) < len(sig):
+        raise ParseError("MissingOperands", spans[0] if spans else None)
+    out = []
+    prev_end = None
+    for kind, start in zip(sig, spans):
+        if prev_end is not None and start == prev_end:
+            # adjacent operands: the reference's multispace1 would fail
+            raise ParseError("ExpectedWhitespace", start)
+        if kind == "f":
+            value, prev_end = _f32(buf, start)
+        elif kind == "s":
+            value, prev_end = ob.parse_string(buf, start)
+        elif kind == "n":
+            name, prev_end = ob.parse_name(buf, start)
+            value = bytes(name)
+        elif kind == "r":
+            value, prev_end = _rendering_mode(buf, start)
+        else:  # "a" - the TJ array
+            value, prev_end = ob.parse_vec(buf, start, _text_array_element)
+        out.append(value)
+    return tuple(out)
 
 
 _KNOWN_OPS = frozenset({
@@ -137,7 +146,7 @@ _OPERAND_START = frozenset(b"/[(<+-.0123456789")
 def parse_operator(buf: bytes, pos: int):
     """One operator: skip operands, read op, re-parse operands
     (operators/mod.rs:113-151).  Returns ((opname, *operands), new_pos)."""
-    cursor = pos
+    spans: list[int] = []
     n = len(buf)
     while True:
         q = lex.skip_ws(buf, pos)
@@ -145,11 +154,12 @@ def parse_operator(buf: bytes, pos: int):
         # classes here are exactly _recognize_operand's dispatch set
         if q >= n or buf[q] not in _OPERAND_START:
             break
+        spans.append(q)
         pos = _recognize_operand(buf, q)
     q = lex.skip_ws(buf, pos)
     op, pos = lex.take_till_delimiter(buf, q, 1, 3)
     if op in _KNOWN_OPS:
-        operands = _parse_operands(op, buf, cursor)
+        operands = _parse_operands(op, buf, spans)
         return (op, *operands), pos
     return (b"NI", op), pos
 
