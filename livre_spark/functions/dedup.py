@@ -79,16 +79,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     rows_per = n_hashes // bands
     sigs = df.select(F.col(id_col).alias("id"),
                      *minhash_signature(F.col(text_col), n_hashes, k))
-    band_rows = []
+    # one pass: explode (band, bucket-hash) pairs instead of unioning
+    # per-band branches (a union would recompute the signatures per band)
+    band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh{i}") for i in range(b * rows_per, (b + 1) * rows_per)]
-        band_rows.append(sigs.select(
-            "id", F.lit(b).alias("band"),
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
             F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
             .alias("bucket")))
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+    buckets = (sigs
+               .select("id", F.explode(F.array(*band_structs)).alias("bb"))
+               .select("id", F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (left.join(right, [F.col("l.band") == F.col("r.band"),

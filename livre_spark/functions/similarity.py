@@ -107,11 +107,16 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     O(n^2) cross-join - correct baseline for oracle checking; the LSH
     bucketing above is the scale path (join on signature first).
     """
+    # norms are precomputed per side so each of the O(n^2) pairs pays one
+    # dot product, not three array folds
     a = embeddings.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("va"))
+                          F.col(vec_col).alias("va"),
+                          norm(F.col(vec_col)).alias("na"))
     b = embeddings.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("vb"))
+                          F.col(vec_col).alias("vb"),
+                          norm(F.col(vec_col)).alias("nb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+            .withColumn("cos_sim", F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))

@@ -196,21 +196,16 @@ def make_object_stream(builder: PdfBuilder, values: list[bytes],
 def build_pdf(page_contents: list[bytes | None], *,
               xref: str = "plain", flate: bool = False,
               nested_tree: bool = False, contents_array: bool = False,
-              use_objstm: bool = False, comments: bool = False) -> bytes:
+              use_objstm: bool = False) -> bytes:
     """Assemble a document whose pages carry the given content streams.
 
     ``None`` page content -> page without /Contents (empty page).
+
+    NB comments: the reference exports comment parsers but never consumes
+    comments on any document-parsing path (object access is xref-offset
+    based), so the writer does not emit them either.
     """
     b = PdfBuilder()
-    if comments:
-        # a comment object slot: comments live between objects; our body
-        # serializer writes objects back to back, so embed the comment in a
-        # page dict's value region instead (parsed as whitespace by the
-        # reference only *between* tokens; here we keep it between objects
-        # by prepending to the catalog value - simplest legal spot is
-        # before the header's binary-sniff line, handled below)
-        pass
-
     catalog_id = b.reserve()
     root_pages_id = b.reserve()
 
