@@ -23,6 +23,8 @@ reference's f32 math (state/text.rs:115-128).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from . import lex, objects as ob
@@ -43,8 +45,10 @@ def fmt_f32(value) -> str:
 
 
 def _f32(buf: bytes, pos: int):
-    value, pos = ob.parse_real(buf, pos)
-    return F32(value), pos
+    """Operand reals stay raw Python floats here; every *use* site casts
+    through numpy float32 (matrix math, display, kerning), so the f32
+    semantics are identical while parsing avoids 100k+ np-scalar boxes."""
+    return ob.parse_real(buf, pos)
 
 
 def _rendering_mode(buf: bytes, pos: int):
@@ -164,8 +168,18 @@ def parse_operator(buf: bytes, pos: int):
     return (b"NI", op), pos
 
 
+# one regex step of the fast tokenizer loop: optional whitespace, then
+# either a run of non-delimiter bytes (a number operand OR an operator
+# token) or an opening byte that needs a balanced / name scanner.
+_TOKEN = re.compile(rb"[ \t\r\n]*(?:([^()<>\[\]{}/%\s]+)|([(\[</]))")
+
+
 def tokenize(content: bytes):
     """Iterate operators over a page content stream.
+
+    Behaviorally identical to repeated ``parse_operator`` calls (a
+    property pinned by tests), but drives the loop with one compiled
+    regex instead of per-byte helpers - the kernel's hottest path.
 
     Returns ``(ops, error)`` - on a parse failure mid-stream, ops so far
     are kept and the error mirrors the reference tests' full-consumption
@@ -174,15 +188,50 @@ def tokenize(content: bytes):
     ops = []
     pos = 0
     n = len(content)
-    while True:
-        pos = lex.skip_ws(content, pos)
-        if pos >= n:
-            return ops, None
-        try:
-            op, pos = parse_operator(content, pos)
-        except ParseError:
-            return ops, "ContentStreamNotFullyConsumed"
-        ops.append(op)
+    spans: list[int] = []
+    match = _TOKEN.match
+    known = _KNOWN_OPS
+    try:
+        while True:
+            m = match(content, pos)
+            if m is None:
+                # only whitespace (or nothing) remains -> clean EOF;
+                # any other byte (')', '>', '%', ...) is a parse failure,
+                # and dangling operands without an operator are too
+                tail = lex.skip_ws(content, pos)
+                if tail >= n and not spans:
+                    return ops, None
+                return ops, "ContentStreamNotFullyConsumed"
+            simple, opening = m.group(1), m.group(2)
+            if opening is None:
+                start = m.start(1)
+                if content[start] in _NUM_START:
+                    spans.append(start)
+                    pos = m.end()
+                    continue
+                # operator token: at most 3 bytes (operators/mod.rs:140)
+                op = simple[:3]
+                pos = start + len(op)
+                if op in known:
+                    ops.append((op, *_parse_operands(op, content, spans)))
+                else:
+                    ops.append((b"NI", op))
+                spans = []
+                continue
+            # an opening byte: recognize the operand span
+            start = m.end() - 1
+            c = opening[0]
+            if c == 0x2F:  # /name
+                _, _, pos = ob.recognize_name(content, start)
+            elif c == 0x28:  # (string)
+                _, _, pos = lex.recognize_parens(content, start)
+            elif c == 0x5B:  # [array]
+                _, _, pos = lex.recognize_brackets(content, start)
+            else:  # <hex or dict>
+                _, _, pos = lex.recognize_angles(content, start)
+            spans.append(start)
+    except ParseError:
+        return ops, "ContentStreamNotFullyConsumed"
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +415,8 @@ def page_spans(ops, segments):
                 seg_iter = iter(segments[idx])
                 for kind, value in op[1]:
                     if kind == "off":
-                        matrix.move_to(-value / _THOUSAND, F32(0.0))
+                        # f32 negate then f32 divide (state/text.rs:293-304)
+                        matrix.move_to(F32(-value) / _THOUSAND, 0.0)
                     else:
                         x, y = matrix.position()
                         o, l = next(seg_iter)
