@@ -273,32 +273,30 @@ FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10
 """
 
 
-# B15: set operations
+# B15: set operations (value threshold keeps the sets distinguishable -
+# without it every user has every event type and all differences are empty)
 def q_setops(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    clickers = ev.filter(F.col("event_type") == "click") \
-        .select("user_id").distinct()
-    erroring = ev.filter(F.col("event_type") == "error") \
-        .select("user_id").distinct()
-    signups = ev.filter(F.col("event_type") == "signup") \
-        .select("user_id").distinct()
-    return clickers.exceptAll(erroring).intersect(signups) \
-        .union(clickers.intersect(erroring).exceptAll(signups)) \
-        .distinct()
+
+    def users_of(etype):
+        return (ev.filter((F.col("event_type") == etype)
+                          & (F.col("value") > 90))
+                .select("user_id").distinct())
+
+    clickers, erroring, signups = map(users_of, ("click", "error", "signup"))
+    return (clickers.subtract(erroring)
+            .union(erroring.intersect(signups))
+            .distinct())
 
 
 SQL_SETOPS = """
-(SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+(SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 90
  EXCEPT
- SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
-INTERSECT
-SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+ SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 90)
 UNION
-((SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-  INTERSECT
-  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
- EXCEPT
- SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+(SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 90
+ INTERSECT
+ SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' AND value > 90)
 """
 
 

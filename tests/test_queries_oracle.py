@@ -67,7 +67,7 @@ def test_oracle_parity(spark, duck, name):
             assert a == b, f"{name}: first differing row\n spark={a}\n duck ={b}"
     # some queries are legitimately empty at sf0.001 (they are non-empty
     # at the driver's sf0.01)
-    may_be_empty = {"dedup_exact", "anti_join", "setops", "sim_near_dup"}
+    may_be_empty = {"dedup_exact", "anti_join", "sim_near_dup"}
     assert len(s_rows) > 0 or name in may_be_empty, \
         f"{name}: zero rows - weak test"
 
