@@ -80,14 +80,9 @@ def ensure_corpus(spark, n_docs: int) -> str:
     return path
 
 
-def run_extraction(cores: int, corpus_path: str) -> tuple[float, int]:
-    """One extraction run at local[cores]; returns (seconds, docs).
-
-    Measures the core path as a SINGLE Spark action (scan -> magic filter
-    -> skew repartition -> mapInPandas extraction -> parquet write) so the
-    scaling numbers reflect the compute, not per-job scheduling overhead.
-    """
-    from pyspark.sql import functions as F
+def _run_extraction_child(cores: int, corpus_path: str, queue) -> None:
+    """Child-process body: pin CPUs, launch a FRESH JVM, run, report."""
+    os.sched_setaffinity(0, set(sorted(os.sched_getaffinity(0))[:cores]))
 
     from livre_spark.operators.extraction import (
         extract_documents, pdf_magic_filter,
@@ -109,9 +104,39 @@ def run_extraction(cores: int, corpus_path: str) -> tuple[float, int]:
         dt = time.perf_counter() - t0
         n_docs = spark.read.parquet(os.path.join(out, "text")).count()
         shutil.rmtree(out, ignore_errors=True)
-        return dt, n_docs
+        queue.put((dt, n_docs))
     finally:
         spark.stop()
+
+
+def run_extraction(cores: int, corpus_path: str) -> tuple[float, int]:
+    """One extraction run at local[cores] PINNED to ``cores`` CPUs.
+
+    Pinning rationale: without it, ``local[8]`` on a 32-core box is not an
+    8-core cluster - its JVM task threads plus Python workers spread over
+    all 32 CPUs, inflating the small-cluster rate and corrupting the N vs
+    4N comparison.  The honest sandbox proxy for N vs 4N *executors* gives
+    each "cluster size" a true CPU budget.
+
+    Subprocess isolation is load-bearing: ``spark.stop()`` does not stop
+    the JVM, and a reused JVM (plus the Python workers it forks) keeps the
+    affinity mask it was born with - so each measurement gets a fresh
+    process tree that inherits the right mask.
+
+    Measures the core path as a SINGLE Spark action (scan -> magic filter
+    -> skew repartition -> mapInPandas extraction -> parquet write) so the
+    scaling numbers reflect the compute, not per-job scheduling overhead.
+    """
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    queue = ctx.Queue()
+    proc = ctx.Process(target=_run_extraction_child,
+                       args=(cores, corpus_path, queue))
+    proc.start()
+    result = queue.get()
+    proc.join()
+    return result
 
 
 def run_headline_queries(spark) -> dict[str, float]:
@@ -137,20 +162,25 @@ def _burn(seconds: float) -> int:
 
 
 def hardware_speedup(cores_n: int, cores_4n: int, seconds: float = 2.5) -> float:
-    """Measured CPU ceiling of this box going cores_n -> cores_4n.
+    """Measured CPU ceiling of this box going cores_n -> cores_4n CPUs.
 
-    Local sandboxes expose SMT threads as cores: 8 -> 32 *processes* does
-    not buy 4x of anything on ~16 physical cores.  The honest scaling
-    criterion normalizes the job's speedup by this measured ceiling
-    (on a real N -> 4N *executor* cluster the ceiling is the ideal 4.0).
+    Each measurement pins the process (and its pool workers) to exactly
+    that many CPUs, mirroring the pinned extraction runs.  On an idle
+    host this is ~4.0; it degrades when the VM host steals cycles, which
+    is exactly the noise the normalized efficiency must correct for.
     """
     import multiprocessing as mp
 
+    all_cpus = os.sched_getaffinity(0)
     rates = {}
-    for n in (cores_n, cores_4n):
-        with mp.Pool(n) as pool:
-            total = sum(pool.map(_burn, [seconds] * n))
-        rates[n] = total / seconds
+    try:
+        for n in (cores_n, cores_4n):
+            os.sched_setaffinity(0, set(sorted(all_cpus)[:n]))
+            with mp.Pool(n) as pool:
+                total = sum(pool.map(_burn, [seconds] * n))
+            rates[n] = total / seconds
+    finally:
+        os.sched_setaffinity(0, all_cpus)
     return rates[cores_4n] / rates[cores_n]
 
 
@@ -169,10 +199,14 @@ def main() -> None:
     timings = run_headline_queries(spark)
     spark.stop()
 
-    # phase 1: extraction scaling N vs 4N
+    # phase 1: extraction scaling N vs 4N.  Best-of-2 per level: the VM
+    # host occasionally steals cycles for tens of seconds, and the faster
+    # run is the less-contended (more representative) measurement.
     cores_n = max(2, CPUS // 4)
-    dt_n, docs_n = run_extraction(cores_n, corpus)
-    dt_4n, docs_4n = run_extraction(CPUS, corpus)
+    dt_n, docs_n = min((run_extraction(cores_n, corpus) for _ in range(2)),
+                       key=lambda r: r[0])
+    dt_4n, docs_4n = min((run_extraction(CPUS, corpus) for _ in range(2)),
+                         key=lambda r: r[0])
     rate_n = docs_n / dt_n
     rate_4n = docs_4n / dt_4n
     factor = CPUS / cores_n

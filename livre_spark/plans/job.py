@@ -39,6 +39,9 @@ def build_session(app_name: str = "livre-spark", cores: str | int = "*",
                .config("spark.sql.execution.arrow.pyspark.enabled", "true")
                .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
                .config("spark.sql.adaptive.enabled", "true")
+               # byte-capped scan splits: the shuffle-free small-doc
+               # path relies on these for balance (operators/skew.py)
+               .config("spark.sql.files.maxPartitionBytes", "33554432")
                .config("spark.driver.memory", os.environ.get(
                    "SPARK_GRAFT_DRIVER_MEM", "8g"))
                .config("spark.ui.enabled", "false")

@@ -123,3 +123,19 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake=False)
+
+
+def test_scalar_pandas_udfs(spark):
+    from livre_spark.functions.scalars import doc_kind, pdf_version
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"%PDF-1.7\nrest")),
+         (2, bytearray(b"  <!DOCTYPE html><html>")),
+         (3, bytearray(b"\x89PNG")),
+         (4, None)],
+        "id long, html binary")
+    got = {r["id"]: (r["kind"], r["ver"]) for r in
+           df.select("id", doc_kind("html").alias("kind"),
+                     pdf_version("html").alias("ver")).collect()}
+    assert got == {1: ("pdf", 7), 2: ("html", -1),
+                   3: ("other", -1), 4: ("other", -1)}
