@@ -62,8 +62,8 @@ def extract_text(buf: bytes) -> dict:
             base += len(page_text)
     except ParseError as exc:
         error = exc.code
-    except (RecursionError, MemoryError, OverflowError, ValueError) as exc:
-        error = type(exc).__name__
+    except Exception as exc:  # containment: a kernel bug on one poisoned
+        error = type(exc).__name__  # doc must not kill a 10^12-doc job
     parse_ms = (time.perf_counter() - t0) * 1000.0
     return {
         "text": "".join(text_parts),
