@@ -41,10 +41,10 @@ def build_session(app_name: str = "livre-spark", cores: str | int = "*",
                .config("spark.sql.adaptive.enabled", "true")
                # byte-capped scan splits: the shuffle-free small-doc
                # path relies on these for balance (operators/skew.py).
-               # 8 MiB keeps tasks seconds-long for binary-heavy docs;
+               # 4 MiB keeps tasks seconds-long for binary-heavy docs;
                # raise via env at larger scales to bound task counts
                .config("spark.sql.files.maxPartitionBytes", os.environ.get(
-                   "SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 << 20)))
+                   "SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 << 20)))
                .config("spark.driver.memory", os.environ.get(
                    "SPARK_GRAFT_DRIVER_MEM", "8g"))
                .config("spark.ui.enabled", "false")
