@@ -595,6 +595,19 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
 
 
+def q_sim_topk_ivf(spark, sf_dir):
+    """ANN via an IVF coarse quantizer (mini k-means centroids + cell
+    pruning).  Rows-only check: the centroids come from float-sum
+    aggregations whose partial ordering is engine-specific, so a SQL twin
+    cannot be bit-stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = sim.ivf_centroids(emb, n_cells=4, iters=1)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.topk_cosine_ivf(emb.filter(F.col("vec_id") != 0), qv,
+                               centroids, k=10, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary columns; decode stubbed - rows-only check)
 # ---------------------------------------------------------------------------
@@ -643,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_near_dup": q_sim_near_dup,
         "sim_topk_lsh": q_sim_topk_lsh,
+        "sim_topk_ivf": q_sim_topk_ivf,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -674,5 +688,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk": SQL_SIM_TOPK,
         "sim_near_dup": SQL_SIM_NEAR_DUP,
         "sim_topk_lsh": _lsh_oracle_sql(),
-        # rows-only (non-SQL): dedup_simhash, multimodal_features
+        # rows-only (non-SQL): dedup_simhash, multimodal_features,
+        # sim_topk_ivf
     }

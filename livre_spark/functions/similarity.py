@@ -99,6 +99,79 @@ def topk_cosine_lsh(embeddings: DataFrame, query_vec: list[float],
             .limit(k))
 
 
+def ivf_centroids(embeddings: DataFrame, n_cells: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  iters: int = 2) -> list[list[float]]:
+    """Deterministic mini k-means for the IVF coarse quantizer.
+
+    Seeds from the ``n_cells`` lowest-id vectors, then runs a couple of
+    Lloyd iterations with all heavy lifting in Spark aggregations (the
+    driver only holds the centroids).  At 100 TB you run this on a
+    sampled slice; the index build is a one-time batch job.
+    """
+    import numpy as np
+
+    seed_rows = (embeddings.orderBy(id_col).limit(n_cells).collect())
+    centroids = [np.asarray(list(r[vec_col]), dtype=np.float64)
+                 for r in seed_rows]
+    for _ in range(iters):
+        assigned = embeddings.select(
+            ivf_cell(F.col(vec_col), [c.tolist() for c in centroids])
+            .alias("cell"), vec_col)
+        sums = (assigned.groupBy("cell")
+                .agg(F.count("*").alias("n"),
+                     *[F.sum(F.element_at(F.col(vec_col), i + 1))
+                       .alias(f"s{i}") for i in range(len(centroids[0]))])
+                .collect())
+        for row in sums:
+            c = row["cell"]
+            n = row["n"]
+            centroids[c] = np.array(
+                [row[f"s{i}"] / n for i in range(len(centroids[0]))])
+    return [c.tolist() for c in centroids]
+
+
+def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2), pure JVM expressions."""
+    best_idx = F.lit(0)
+    best_dist = _sq_dist(vec, centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        d = _sq_dist(vec, c)
+        cond = d < best_dist
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best_dist = F.when(cond, d).otherwise(best_dist)
+    return best_idx
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(vec, _query_literal(centroid),
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def topk_cosine_ivf(embeddings: DataFrame, query_vec: list[float],
+                    centroids: list[list[float]], k: int = 10,
+                    n_probe: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF search: score only vectors in the query's ``n_probe`` nearest
+    cells.  The scale path bucketizes the table once (write ``cell`` as a
+    partition column) so a query reads only its probed cells."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
+    probed = sorted(range(len(centroids)), key=lambda i: dists[i])[:n_probe]
+    qcol = _query_literal(query_vec)
+    return (embeddings
+            .withColumn("_cell", ivf_cell(F.col(vec_col), centroids))
+            .filter(F.col("_cell").isin(probed))
+            .select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(k))
+
+
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:

@@ -139,3 +139,12 @@ def test_scalar_pandas_udfs(spark):
                      pdf_version("html").alias("ver")).collect()}
     assert got == {1: ("pdf", 7), 2: ("html", -1),
                    3: ("other", -1), 4: ("other", -1)}
+
+
+def test_ivf_topk(spark, embeddings):
+    cents = sim.ivf_centroids(embeddings, n_cells=2, iters=1)
+    assert len(cents) == 2 and len(cents[0]) == 4
+    got = sim.topk_cosine_ivf(embeddings.filter("vec_id != 0"),
+                              [1.0, 0.0, 0.0, 0.0], cents, k=3, n_probe=1)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert 1 in ids  # nearest neighbour is inside the probed cell
