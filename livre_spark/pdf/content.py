@@ -431,15 +431,164 @@ def page_spans(ops, segments):
         # after ET (or ops exhausted): look for the next BT
 
 
-def extract_page(content: bytes):
-    """Page content bytes -> ``(text, spans, error)``.
-
-    ``spans`` are ``(x, y, off, len)`` with character offsets into the
-    page text.  ``error`` is the first structural error (spans collected
-    so far are kept; text is always produced - matching the fact that the
-    reference's Display path has no Tf requirement).
-    """
+def extract_page_twopass(content: bytes):
+    """Reference-shaped two-pass extraction (tokenize -> Display text ->
+    span state machine).  Kept as the equivalence oracle for the fused
+    single-pass implementation below (tests assert byte-identical output
+    over the fixture corpus)."""
     ops, error = tokenize(content)
     text, segments = page_text_segments(ops)
     spans, span_error = page_spans(ops, segments)
     return text, spans, error or span_error
+
+
+# span-machine states for the fused pass
+_OUTSIDE, _BUILD, _ITER, _DEAD = 0, 1, 2, 3
+
+
+def extract_page(content: bytes):
+    """Page content bytes -> ``(text, spans, error)`` - fused single pass.
+
+    Semantically identical to :func:`extract_page_twopass` (and therefore
+    to the reference's two separate consumption paths: the Display text
+    stream of examples/text.rs and the text-object state machine of
+    state/text.rs), but tokenization, text assembly and the span machine
+    run in one loop with no intermediate operator list - the kernel's
+    hottest path.
+
+    ``spans`` are ``(x, y, off, len)`` with character offsets into the
+    page text.  ``error`` is the first structural error (spans collected
+    so far are kept; text is always produced - the reference's Display
+    path has no Tf requirement).
+    """
+    parts: list[str] = []
+    off = 0
+    spans: list[tuple[float, float, int, int]] = []
+    tok_error = None
+    span_error = None
+    state = _OUTSIDE
+    matrix = params = None
+
+    pos = 0
+    n = len(content)
+    op_spans: list[int] = []
+    match = _TOKEN.match
+    known = _KNOWN_OPS
+
+    while True:
+        try:
+            m = match(content, pos)
+            if m is None:
+                tail = lex.skip_ws(content, pos)
+                if not (tail >= n and not op_spans):
+                    tok_error = "ContentStreamNotFullyConsumed"
+                break
+            simple, opening = m.group(1), m.group(2)
+            if opening is not None:
+                start = m.end() - 1
+                c = opening[0]
+                if c == 0x2F:
+                    _, _, pos = ob.recognize_name(content, start)
+                elif c == 0x28:
+                    _, _, pos = lex.recognize_parens(content, start)
+                elif c == 0x5B:
+                    _, _, pos = lex.recognize_brackets(content, start)
+                else:
+                    _, _, pos = lex.recognize_angles(content, start)
+                op_spans.append(start)
+                continue
+            start = m.start(1)
+            if content[start] in _NUM_START:
+                op_spans.append(start)
+                pos = m.end()
+                continue
+            name = simple[:3]
+            pos = start + len(name)
+            if name not in known:
+                op_spans = []
+                continue
+            op = (name, *_parse_operands(name, content, op_spans))
+            op_spans = []
+        except ParseError:
+            tok_error = "ContentStreamNotFullyConsumed"
+            break
+
+        # ---- fused Display-text + span-machine handling of one operator
+        if name == b"BT":
+            parts.append("\n")
+            off += 1
+            if state == _OUTSIDE:
+                state = _BUILD
+                matrix = _Matrix()
+                params = _Params()
+        elif name == b"ET":
+            if state == _ITER:
+                state = _OUTSIDE
+        elif name == b"Tf":
+            if state == _BUILD:
+                state = _ITER
+            elif state == _ITER:
+                span_error = span_error or "SecondTfOperator"
+                state = _DEAD
+        elif name in _SHOWING_OPS:
+            if name == b"Tj":
+                t = ob.decode_pdf_string(op[1])
+                seg = (off, len(t))
+                parts.append(t)
+                off += len(t)
+                segs = (seg,)
+            elif name == b"'":
+                t = ob.decode_pdf_string(op[1])
+                seg = (off, len(t))
+                parts.append(t)
+                parts.append("\n")
+                off += len(t) + 1
+                segs = (seg,)
+            elif name == b'"':
+                t = fmt_f32(op[1])
+                seg = (off, len(t))
+                parts.append(t)
+                parts.append("\n")
+                off += len(t) + 1
+                segs = (seg,)
+            else:  # TJ
+                segs = []
+                for kind, value in op[1]:
+                    if kind == "str":
+                        t = ob.decode_pdf_string(value)
+                        segs.append((off, len(t)))
+                        parts.append(t)
+                        off += len(t)
+            if state == _BUILD:
+                span_error = span_error or "UnexpectedTextShowingOperator"
+                state = _DEAD
+            elif state == _ITER:
+                if name == b"Tj":
+                    x, y = matrix.position()
+                    spans.append((x, y, *segs[0]))
+                elif name == b"'":
+                    matrix.move_to(F32(0.0), -params.leading)
+                    x, y = matrix.position()
+                    spans.append((x, y, *segs[0]))
+                elif name == b'"':
+                    matrix.move_to(F32(0.0), -params.leading)
+                    params.word_spacing = op[1]
+                    params.character_spacing = op[2]
+                    x, y = matrix.position()
+                    spans.append((x, y, *segs[0]))
+                else:  # TJ
+                    seg_iter = iter(segs)
+                    for kind, value in op[1]:
+                        if kind == "off":
+                            matrix.move_to(F32(-value) / _THOUSAND, 0.0)
+                        else:
+                            x, y = matrix.position()
+                            spans.append((x, y, *next(seg_iter)))
+        elif name in _STATE_OPS or name in _POSITIONING_OPS:
+            if state == _BUILD or state == _ITER:
+                _preapply(op, matrix, params)
+        # T* handled above via _POSITIONING_OPS; NI never reaches here
+
+    if state == _BUILD and tok_error is None:
+        span_error = span_error or "IncompleteTextObject"
+    return "".join(parts), spans, tok_error or span_error

@@ -269,19 +269,16 @@ def parse_string(buf: bytes, pos: int) -> tuple[PdfString, int]:
 # Name terminator set (name.rs:43): NB ``)``, ``%``, ``{``, ``}`` do NOT
 # terminate a name in the reference.
 _NAME_TERM = frozenset(b"\r\n \t/<>[](")
+_NAME_RE = re.compile(rb"/([^\r\n \t/<>\[\]\(]+)")
 _HEX2 = re.compile(rb"[0-9a-fA-F]{1,2}")
 
 
 def recognize_name(buf: bytes, pos: int) -> tuple[int, int, int]:
     """Return (content_start, content_end, new_pos) for ``/Name`` (name.rs:40-46)."""
-    pos = lex.tag(buf, pos, b"/")
-    n = len(buf)
-    end = pos
-    while end < n and buf[end] not in _NAME_TERM:
-        end += 1
-    if end == pos:
+    m = _NAME_RE.match(buf, pos)
+    if m is None:
         raise ParseError("EmptyName", pos)
-    return pos, end, end
+    return m.start(1), m.end(), m.end()
 
 
 def parse_name(buf: bytes, pos: int) -> tuple[PdfName, int]:

@@ -360,3 +360,29 @@ def test_double_angles():
 def test_unbalanced_fails():
     with pytest.raises(ParseError):
         lex.recognize_parens(b"(unclosed", 0)
+
+
+# --- Option<T> (primitives/option.rs:32-48) ---------------------------------
+
+@pytest.mark.parametrize("raw,expected", [
+    (b"true", True), (b"false", False), (b"null", None),
+])
+def test_option_bool(raw, expected):
+    value, end = ob.parse_option(raw, 0, ob.parse_bool)
+    assert value == expected
+    assert end == len(raw)
+
+
+@pytest.mark.parametrize("raw,expected", [
+    (b"-23", -23), (b"42", 42), (b"null", None),
+])
+def test_option_int(raw, expected):
+    value, _ = ob.parse_option(raw, 0, ob.parse_signed)
+    assert value == expected
+
+
+def test_filter_list_forms():
+    assert ob.parse_filter_list(b"/FlateDecode", 0)[0] == [b"FlateDecode"]
+    assert ob.parse_filter_list(b"[ /FlateDecode ]", 0)[0] == [b"FlateDecode"]
+    assert ob.parse_filter_list(b"[/FlateDecode /FlateDecode]", 0)[0] == \
+        [b"FlateDecode", b"FlateDecode"]
