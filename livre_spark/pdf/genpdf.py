@@ -509,6 +509,43 @@ def _random_lines(rng: random.Random, n_lines: int) -> list[str]:
             for _ in range(n_lines)]
 
 
+def _varied_page(rng: random.Random, lines: list[str]) -> tuple[bytes, str]:
+    """One page mixing the showing-operator families; returns
+    (content_bytes, expected_text) with the expectation derived from the
+    Display rules (content.py): Tj -> text, TJ -> concatenated strings,
+    ' -> text+\\n, " -> fmt(aw)+\\n, each line in its own BT (+\\n)."""
+    ops = []
+    expected = []
+    y = 720.0
+    for line in lines:
+        style = rng.randint(0, 3)
+        head = (b"BT /F1 12 Tf 72 " + fmt_f32(y).encode() + b" Td ")
+        if style == 0:  # plain Tj
+            ops.append(head + text_to_show_op(line) + b" ET")
+            expected.append("\n" + line)
+        elif style == 1:  # TJ with kerning offsets between word groups
+            words = line.split(" ")
+            elems = []
+            for j, w in enumerate(words):
+                chunk = (w if j == len(words) - 1 else w + " ")
+                elems.append(b"(" + esc_literal(chunk.encode("latin-1")) + b")")
+                if j < len(words) - 1:
+                    elems.append(fmt_f32(rng.randint(-40, 40)).encode())
+            ops.append(head + b"[ " + b" ".join(elems) + b" ] TJ ET")
+            expected.append("\n" + line)
+        elif style == 2:  # ' appends a newline after the string
+            ops.append(head + b"14 TL (" + esc_literal(line.encode("latin-1"))
+                       + b") ' ET")
+            expected.append("\n" + line + "\n")
+        else:  # " renders its aw float operand, then newline
+            aw = rng.randint(0, 30) / 4.0
+            ops.append(head + b"14 TL " + fmt_f32(aw).encode() + b" 0.5 ("
+                       + esc_literal(line.encode("latin-1")) + b") \" ET")
+            expected.append("\n" + fmt_f32(aw) + "\n")
+        y -= 14.0
+    return b"\n".join(ops), "".join(expected)
+
+
 def generate_row(i: int, seed: int = 42) -> dict:
     """One deterministic corpus row (FIXTURES.md section 1).
 
@@ -531,12 +568,13 @@ def generate_row(i: int, seed: int = 42) -> dict:
         n_pages = rng.randint(10, 30)
     else:
         n_pages = rng.randint(60, 200)
-    pages = [_random_lines(rng, rng.randint(2, 6)) for _ in range(n_pages)]
+    rendered = [_varied_page(rng, _random_lines(rng, rng.randint(2, 6)))
+                for _ in range(n_pages)]
     xref_style = "stream" if rng.random() < 0.3 else "plain"
     flate = rng.random() < 0.5
-    pdf = build_pdf([_simple_content(p) for p in pages],
+    pdf = build_pdf([content for content, _ in rendered],
                     xref=xref_style, flate=flate)
-    expected = "".join(_expected_simple(p) for p in pages)
+    expected = "".join(exp for _, exp in rendered)
     if roll < 0.06:  # ~1% truncated/corrupt
         pdf = pdf[: max(16, len(pdf) * 2 // 3)]
         return dict(url=url, html=pdf, lang=lang, kind="corrupt",
