@@ -35,7 +35,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "250000"))
 SEED = 42
 CACHE = os.path.join(REPO, ".bench_cache")
 
