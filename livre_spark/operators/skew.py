@@ -38,11 +38,21 @@ def size_bucketed_repartition(pages: DataFrame,
                               html_col: str = "html",
                               threshold: int = DEFAULT_LARGE_THRESHOLD,
                               n_partitions: int | None = None,
-                              large_fraction: float = 0.25) -> DataFrame:
+                              large_fraction: float = 0.25,
+                              size_col: str | None = None) -> DataFrame:
     """Split heavy-tail docs onto dedicated partitions, salt the rest.
 
     Returns a DataFrame with the same columns, repartitioned so that no
     partition mixes many large documents with the small-doc bulk.
+
+    ``size_col``: name of a stored byte-length column, if the table has
+    one.  At 100 TB this matters: ``length(html) >= threshold`` cannot be
+    pushed into the parquet/Iceberg scan (the reader must materialize the
+    binary to measure it), so the two branch scans each read every html
+    byte.  A plain int column turns both branch predicates into
+    stats-pruned pushed filters - the large-branch scan then touches only
+    row groups that can contain large docs.  Production tables should
+    persist ``n_bytes`` at ingest.
     """
     spark = pages.sparkSession
     if n_partitions is None:
@@ -50,7 +60,7 @@ def size_bucketed_repartition(pages: DataFrame,
     n_large = max(1, int(n_partitions * large_fraction))
     n_small = max(1, n_partitions - n_large)
 
-    sz = F.length(F.col(html_col))
+    sz = F.col(size_col) if size_col else F.length(F.col(html_col))
     # 64k salt values smooth the salt->partition lumping (each salt
     # value carries all its docs; coarse salts gave +-35% doc-count
     # spread over 48 partitions, 64k gives +-2%)

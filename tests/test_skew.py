@@ -1,0 +1,40 @@
+"""Skew operator: branch routing and stored-size-column pushdown."""
+
+import re
+
+import pyspark.sql.functions as F
+
+from livre_spark.operators.skew import size_bucketed_repartition
+
+
+def _pages(spark, with_size=False):
+    rows = []
+    for i in range(40):
+        big = i % 10 == 0
+        html = bytes([37]) * (3000 if big else 50)  # 4 big docs
+        row = [f"u{i}", html]
+        if with_size:
+            row.append(len(html))
+        rows.append(tuple(row))
+    schema = "url string, html binary" + (", n_bytes long" if with_size else "")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_routing_by_length(spark):
+    df = _pages(spark)
+    out = size_bucketed_repartition(df, threshold=1000, n_partitions=8)
+    assert out.count() == 40
+    # every row survives, columns unchanged
+    assert set(out.columns) == {"url", "html"}
+
+
+def test_size_col_predicate_pushes_down(spark, tmp_path):
+    path = str(tmp_path / "pages")
+    _pages(spark, with_size=True).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = size_bucketed_repartition(df, threshold=1000, n_partitions=8,
+                                    size_col="n_bytes")
+    assert out.count() == 40
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the branch predicates reach the scan as pushed filters on n_bytes
+    assert re.search(r"PushedFilters: \[[^\n]*n_bytes", plan), plan[:2000]
