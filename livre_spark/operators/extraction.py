@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, DoubleType, IntegerType, LongType, FloatType,
+    ArrayType, DoubleType, FloatType, IntegerType, LongType,
     StringType, StructField, StructType,
 )
 

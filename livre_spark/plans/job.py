@@ -15,7 +15,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 from ..operators.checkpoint import append_manifest, filter_done
 from ..operators.extraction import (
@@ -23,7 +23,7 @@ from ..operators.extraction import (
 )
 from ..operators.metrics import partition_metrics
 from ..operators.skew import latest_per_url, size_bucketed_repartition
-from ..sources import read_pages, write_table
+from ..sources import read_pages
 
 
 def build_session(app_name: str = "livre-spark", cores: str | int = "*",
