@@ -17,8 +17,10 @@ Mirrors the reference exactly:
   operand* (not the string!) followed by a newline; TJ renders only its
   string elements.
 
-All float arithmetic passes through numpy float32 to match the
-reference's f32 math (state/text.rs:115-128).
+All float arithmetic matches the reference's f32 math exactly
+(state/text.rs:115-128): matrix ops compute in f64 and round each binary
+op to f32 (exact emulation - see ``_r32``); display formatting uses
+numpy's shortest-round-trip float32 repr.
 """
 
 from __future__ import annotations
@@ -243,27 +245,48 @@ _POSITIONING_OPS = frozenset({b"Td", b"TD", b"Tm", b"T*"})
 _SHOWING_OPS = frozenset({b"Tj", b"'", b'"', b"TJ"})
 
 
+import struct
+
+_F32_PACK = struct.Struct("<f")
+
+
+def _r32(x: float) -> float:
+    """Round an f64 to the nearest f32 value (as a Python float).
+
+    An f64 product/sum of two f32-valued operands is EXACT (24+24 < 53
+    significand bits), so "compute in f64, round each binary op" is
+    bit-identical to native f32 arithmetic - and ~3x faster than numpy
+    scalar math in this per-operator hot path.
+    """
+    return _F32_PACK.unpack(_F32_PACK.pack(x))[0]
+
+
 class _Matrix:
-    """TextMatrix with f32 affine-translate (state/text.rs:102-128)."""
+    """TextMatrix with f32 affine-translate (state/text.rs:102-128).
+
+    Fields hold f32-valued Python floats; every arithmetic step rounds
+    through :func:`_r32`, matching the reference's f32 ops exactly.
+    """
 
     __slots__ = ("a", "b", "c", "d", "e", "f")
 
     def __init__(self):
-        self.a = F32(1.0); self.b = F32(0.0)
-        self.c = F32(0.0); self.d = F32(1.0)
-        self.e = F32(0.0); self.f = F32(0.0)
+        self.a = 1.0; self.b = 0.0
+        self.c = 0.0; self.d = 1.0
+        self.e = 0.0; self.f = 0.0
 
     def set(self, a, b, c, d, e, f):
         self.a, self.b, self.c, self.d, self.e, self.f = (
-            F32(a), F32(b), F32(c), F32(d), F32(e), F32(f))
+            _r32(a), _r32(b), _r32(c), _r32(d), _r32(e), _r32(f))
 
     def move_to(self, x, y):
-        x = F32(x); y = F32(y)
-        self.e = self.a * x + self.c * y + self.e
-        self.f = self.b * x + self.d * y + self.f
+        # e' = a*x + c*y + e with f32 rounding after each op
+        x = _r32(x); y = _r32(y)
+        self.e = _r32(_r32(_r32(self.a * x) + _r32(self.c * y)) + self.e)
+        self.f = _r32(_r32(_r32(self.b * x) + _r32(self.d * y)) + self.f)
 
     def position(self):
-        return float(self.e), float(self.f)
+        return self.e, self.f
 
 
 class _Params:
@@ -273,12 +296,12 @@ class _Params:
                  "leading", "rendering_mode", "rise")
 
     def __init__(self):
-        self.character_spacing = F32(0.0)
-        self.word_spacing = F32(0.0)
-        self.horizontal_scaling = F32(100.0)
-        self.leading = F32(0.0)
+        self.character_spacing = 0.0
+        self.word_spacing = 0.0
+        self.horizontal_scaling = 100.0
+        self.leading = 0.0
         self.rendering_mode = 0
-        self.rise = F32(0.0)
+        self.rise = 0.0
 
 
 def _preapply(op, matrix: _Matrix, params: _Params):
@@ -303,7 +326,7 @@ def _preapply(op, matrix: _Matrix, params: _Params):
     elif name == b"Tm":
         matrix.set(*op[1:])
     elif name == b"T*":
-        matrix.move_to(F32(0.0), -params.leading)
+        matrix.move_to(0.0, -params.leading)
 
 
 def page_text_segments(ops):
@@ -400,12 +423,12 @@ def page_spans(ops, segments):
                 o, l = segments[idx][0]
                 spans.append((x, y, o, l))
             elif name == b"'":
-                matrix.move_to(F32(0.0), -params.leading)
+                matrix.move_to(0.0, -params.leading)
                 x, y = matrix.position()
                 o, l = segments[idx][0]
                 spans.append((x, y, o, l))
             elif name == b'"':
-                matrix.move_to(F32(0.0), -params.leading)
+                matrix.move_to(0.0, -params.leading)
                 params.word_spacing = op[1]
                 params.character_spacing = op[2]
                 x, y = matrix.position()
@@ -567,11 +590,11 @@ def extract_page(content: bytes):
                     x, y = matrix.position()
                     spans.append((x, y, *segs[0]))
                 elif name == b"'":
-                    matrix.move_to(F32(0.0), -params.leading)
+                    matrix.move_to(0.0, -params.leading)
                     x, y = matrix.position()
                     spans.append((x, y, *segs[0]))
                 elif name == b'"':
-                    matrix.move_to(F32(0.0), -params.leading)
+                    matrix.move_to(0.0, -params.leading)
                     params.word_spacing = op[1]
                     params.character_spacing = op[2]
                     x, y = matrix.position()
