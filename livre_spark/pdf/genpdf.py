@@ -5,7 +5,7 @@ known *by construction*, covering every feature the reference handles
 (FIXTURES.md section 3): plain xref tables, xref streams, incremental
 updates (/Prev chains, last startxref wins), object streams, FlateDecode,
 literal/hex string escape classes, UTF-16BE strings, all text operators,
-nested page trees with MediaBox inheritance, comments, corrupt inputs.
+nested page trees with MediaBox inheritance, corrupt inputs.
 
 Everything is seeded - same inputs, same bytes - so golden tests and
 resume-idempotence checks hold across runs and parallelism levels.
