@@ -51,4 +51,6 @@ def test_text_pdf_parses_completely():
 def test_reference_fixtures_deterministic():
     for name in ("letter.pdf", "text.pdf"):
         buf = _load(name)
-        assert extract_text(buf) == extract_text(buf)
+        r1, r2 = extract_text(buf), extract_text(buf)
+        r1.pop("parse_ms"), r2.pop("parse_ms")  # the only wall-clock field
+        assert r1 == r2
