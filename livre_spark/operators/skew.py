@@ -57,8 +57,9 @@ def size_bucketed_repartition(pages: DataFrame,
     spark = pages.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Only the large branch gets explicit partitions; the small branch is
+    # intentionally shuffle-free (scan splits are already byte-balanced).
     n_large = max(1, int(n_partitions * large_fraction))
-    n_small = max(1, n_partitions - n_large)
 
     sz = F.col(size_col) if size_col else F.length(F.col(html_col))
     # 64k salt values smooth the salt->partition lumping (each salt

@@ -99,8 +99,14 @@ def _parse_operands(op: bytes, buf: bytes, spans: list[int]):
     out = []
     prev_end = None
     for kind, start in zip(sig, spans):
-        if prev_end is not None and start == prev_end:
-            # adjacent operands: the reference's multispace1 would fail
+        if prev_end is not None and (
+            start <= prev_end or lex.skip_ws(buf, prev_end) != start
+        ):
+            # The reference re-parses operands contiguously with multispace1
+            # between them (tuple.rs:21, operators/mod.rs:131-146): adjacent
+            # operands (zero whitespace) AND trailing non-whitespace garbage
+            # inside a recognized operand span (e.g. the ".3" of "1.2.3"
+            # after f32 reads "1.2") both fail the whole operator.
             raise ParseError("ExpectedWhitespace", start)
         if kind == "f":
             value, prev_end = _f32(buf, start)

@@ -2,12 +2,31 @@
 
 read (B1) -> latest-per-url dedup (B12) -> magic-byte filter (B4) ->
 checkpoint anti-join (B13/B18) -> size-bucket + salt repartition (B5/B6)
--> mapInPandas extraction (B7) -> text + spans sinks (B2/B9) ->
-per-partition metrics (B10/B11) -> manifest append (B18).
+-> mapInPandas extraction (B7) -> ONE write of text + nested spans (B2)
+-> spans/metrics/manifest derived from the written table (B9/B10/B18).
 
 Catalyst plans everything outside the UDF.  Stage boundaries: one shuffle
 for the dedup window, one for the skew repartition, one for the metrics
 aggregate - the minimum for these semantics.
+
+Single-action design: the extraction UDF runs exactly once, feeding one
+parquet write of ``documents_text`` (text + nested ``spans`` + ``run_id``).
+Every secondary sink (exploded spans, per-partition metrics, the resume
+manifest) is derived by reading that table back with column-pruned scans -
+no ``persist()`` of full text+spans through the block store, no repeated
+extraction.  At 100 TB the read-backs touch only the small columns
+(parquet prunes ``text`` away), so the fan-out costs a metadata-sized
+fraction of the extraction itself.
+
+Crash-consistency: the manifest append is the commit point and it runs
+last, so a crash between the text write and the manifest leaves a *torn
+batch* - rows present in ``documents_text`` but absent from the manifest.
+``heal_torn`` (run at the start of every pipeline invocation) converges
+that window: torn urls get their missing spans/metrics/manifest rows
+appended (each guarded by an existence check, so healing is itself
+idempotent), after which manifest == text urls and the normal anti-join
+resume is exact.  A resumed run therefore converges to the byte-identical
+output of a single clean run.
 """
 
 from __future__ import annotations
@@ -15,9 +34,10 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..operators.checkpoint import append_manifest, filter_done
+from ..operators.checkpoint import append_manifest, filter_done, read_done_urls
 from ..operators.extraction import (
     explode_spans, extract_documents, pdf_magic_filter,
 )
@@ -54,6 +74,73 @@ def build_session(app_name: str = "livre-spark", cores: str | int = "*",
     return builder.getOrCreate()
 
 
+def _text_path(output_dir: str) -> str:
+    return os.path.join(output_dir, "documents_text")
+
+
+def _spans_path(output_dir: str) -> str:
+    return os.path.join(output_dir, "documents_spans")
+
+
+def _metrics_path(output_dir: str) -> str:
+    return os.path.join(output_dir, "partition_metrics")
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def heal_torn(spark: SparkSession, output_dir: str,
+              checkpoint_dir: str | None,
+              write_spans: bool = True) -> int:
+    """Converge a torn batch left by a crash before the manifest append.
+
+    Torn = urls in ``documents_text`` missing from the manifest.  For those
+    rows, append the missing exploded spans (skipping urls the spans table
+    already has), the missing metrics rows (skipping run_ids the metrics
+    table already has), and finally the manifest urls.  Every append is
+    guarded by an existence check, so a crash *during healing* is healed
+    by the next invocation - the procedure converges.
+
+    Returns the number of torn urls healed (0 on the normal path).
+    """
+    if not checkpoint_dir:
+        return 0
+    text = _read_or_none(spark, _text_path(output_dir))
+    if text is None:
+        return 0
+    done = read_done_urls(spark, checkpoint_dir)
+    torn = text if done is None else text.join(done, "url", "left_anti")
+    # one column-pruned scan decides the fast path
+    n_torn = torn.select("url").count()
+    if n_torn == 0:
+        return 0
+
+    spans_tbl = _read_or_none(spark, _spans_path(output_dir))
+    if spans_tbl is not None or write_spans:
+        missing_spans = torn if spans_tbl is None else torn.join(
+            spans_tbl.select("url").distinct(), "url", "left_anti")
+        explode_spans(missing_spans).write.mode("append").parquet(
+            _spans_path(output_dir))
+
+    metrics_tbl = _read_or_none(spark, _metrics_path(output_dir))
+    torn_runs = [r["run_id"]
+                 for r in torn.select("run_id").distinct().collect()]
+    if metrics_tbl is not None:
+        have = {r["run_id"] for r in
+                metrics_tbl.select("run_id").distinct().collect()}
+        torn_runs = [r for r in torn_runs if r not in have]
+    for rid in torn_runs:
+        (partition_metrics(torn.filter(F.col("run_id") == rid), rid)
+         .write.mode("append").parquet(_metrics_path(output_dir)))
+
+    append_manifest(torn, checkpoint_dir)
+    return n_torn
+
+
 def run_pipeline(spark: SparkSession, source: str, output_dir: str,
                  checkpoint_dir: str | None = None,
                  dedup_snapshots: bool = True,
@@ -61,6 +148,10 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
                  run_id: str | None = None) -> dict:
     """Execute the full pipeline; returns output locations + counts."""
     run_id = run_id or uuid.uuid4().hex[:12]
+    text_path = _text_path(output_dir)
+
+    healed = heal_torn(spark, output_dir, checkpoint_dir,
+                       write_spans=write_spans)
 
     pages = read_pages(spark, source)
     if dedup_snapshots and "warc_ts" in pages.columns:
@@ -69,28 +160,28 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
     pages = filter_done(pages, checkpoint_dir)
     pages = size_bucketed_repartition(pages)
 
-    extracted = extract_documents(pages)
-    # the UDF output feeds three sinks; cache once to avoid re-extraction
-    extracted.persist()
-    try:
-        text_path = os.path.join(output_dir, "documents_text")
-        (extracted
-         .select("url", "text", "n_pages", "n_spans", "error", "parse_ms")
-         .write.mode("append").parquet(text_path))
+    # the ONLY action that runs the UDF: text + nested spans in one write
+    (extract_documents(pages)
+     .withColumn("run_id", F.lit(run_id))
+     .write.mode("append").parquet(text_path))
 
-        spans_path = None
-        if write_spans:
-            spans_path = os.path.join(output_dir, "documents_spans")
-            explode_spans(extracted).write.mode("append").parquet(spans_path)
+    # secondary sinks derive from the written table; parquet prunes the
+    # text column away, so these scans read only the small columns
+    written = (spark.read.parquet(text_path)
+               .filter(F.col("run_id") == run_id))
 
-        metrics_path = os.path.join(output_dir, "partition_metrics")
-        (partition_metrics(extracted, run_id)
-         .write.mode("append").parquet(metrics_path))
+    spans_path = None
+    if write_spans:
+        spans_path = _spans_path(output_dir)
+        explode_spans(written).write.mode("append").parquet(spans_path)
 
-        n_docs = extracted.count()
-        append_manifest(extracted, checkpoint_dir)
-    finally:
-        extracted.unpersist()
+    metrics_path = _metrics_path(output_dir)
+    (partition_metrics(written, run_id)
+     .write.mode("append").parquet(metrics_path))
 
-    return {"run_id": run_id, "n_docs": n_docs, "text_path": text_path,
-            "spans_path": spans_path, "metrics_path": metrics_path}
+    n_docs = written.count()
+    append_manifest(written, checkpoint_dir)
+
+    return {"run_id": run_id, "n_docs": n_docs, "n_healed": healed,
+            "text_path": text_path, "spans_path": spans_path,
+            "metrics_path": metrics_path}

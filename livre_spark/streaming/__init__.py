@@ -41,20 +41,30 @@ def start_extraction_stream(spark: SparkSession, source_dir: str,
     """Continuous extraction: each micro-batch runs the batch pipeline."""
     import os
 
+    from ..plans.job import heal_torn
+
+    # converge any torn batch a crashed run left (text written, manifest
+    # missing) BEFORE the streaming checkpoint replays that batch - the
+    # healed manifest makes the replay's filter_done skip those urls, so
+    # no duplicate text rows are appended
+    heal_torn(spark, output_dir, checkpoint_dir, write_spans=False)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        run_id = f"batch-{batch_id}"
+        text_path = os.path.join(output_dir, "documents_text")
         pages = pdf_magic_filter(batch_df)
         pages = filter_done(pages, checkpoint_dir)
         pages = size_bucketed_repartition(pages)
-        extracted = extract_documents(pages)
-        extracted.persist()
-        try:
-            (extracted
-             .select("url", "text", "n_pages", "n_spans", "error", "parse_ms")
-             .write.mode("append")
-             .parquet(os.path.join(output_dir, "documents_text")))
-            append_manifest(extracted, checkpoint_dir)
-        finally:
-            extracted.unpersist()
+        # single action through the UDF; the manifest derives from the
+        # written table (column-pruned read-back), not a persist()
+        (extract_documents(pages)
+         .withColumn("run_id", F.lit(run_id))
+         .write.mode("append").parquet(text_path))
+        written = (spark.read.parquet(text_path)
+                   .filter(F.col("run_id") == run_id))
+        append_manifest(written, checkpoint_dir)
 
     writer = (stream_pages(spark, source_dir)
               .writeStream

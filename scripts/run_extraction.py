@@ -16,6 +16,12 @@ and size spark.sql.shuffle.partitions to ~2-3x total executor cores.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# running `python scripts/run_extraction.py` from a checkout puts scripts/
+# (not the repo root) on sys.path; on a cluster --py-files covers this
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

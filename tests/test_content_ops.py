@@ -75,3 +75,26 @@ def test_quote_operator_display_is_the_float():
     assert r["text"] == "\n1.25\n"
     # but the span reflects the T* matrix move driven by TL
     assert r["spans"][0]["y"] == -7.0
+
+
+def test_operand_trailing_garbage_fails_operator():
+    """The reference re-parses operands contiguously with multispace1
+    between them (tuple.rs:21, operators/mod.rs:131-146): '1.2.3' is
+    recognized as one operand span, but the typed f32 re-parse stops at
+    '1.2' and multispace1 fails on '.3' - the whole operator (and hence
+    the content stream) errors.  Regression for the round-1 gap where
+    only exactly-adjacent operands were rejected."""
+    ops, err = C.tokenize(b"BT /F1 12 Tf 1.2.3 4 Td (a) Tj ET")
+    assert err == "ContentStreamNotFullyConsumed"
+    # the fused extractor agrees byte-for-byte
+    text2, spans2, err2 = C.extract_page(b"BT /F1 12 Tf 1.2.3 4 Td (a) Tj ET")
+    text1, spans1, err1 = C.extract_page_twopass(
+        b"BT /F1 12 Tf 1.2.3 4 Td (a) Tj ET")
+    assert (text2, spans2, err2) == (text1, spans1, err1)
+    assert err2 == "ContentStreamNotFullyConsumed"
+
+
+def test_operand_normal_whitespace_still_parses():
+    ops, err = C.tokenize(b"1.2 \t\r\n 4 Td")
+    assert err is None
+    assert ops[0][0] == b"Td"

@@ -103,3 +103,39 @@ def test_explain_has_pruned_scan(spark, corpus_path):
     import re
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "text" not in m.group(1) and "lang" not in m.group(1), m.group(1)
+
+
+def test_torn_batch_heals(spark, corpus_path, tmp_path):
+    """A crash between the text write and the manifest append (the
+    non-transactional window) leaves a torn batch; the next pipeline run
+    converges it: manifest/spans restored, no duplicate text rows, no
+    re-extraction."""
+    import shutil
+
+    from livre_spark.operators.checkpoint import manifest_path
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    info1 = run_pipeline(spark, corpus_path, out, checkpoint_dir=ckpt)
+
+    # simulate the crash: outputs written, manifest never appended
+    shutil.rmtree(manifest_path(ckpt))
+    # ... and the spans sink also lost (crash before the spans write)
+    shutil.rmtree(os.path.join(out, "documents_spans"))
+
+    info2 = run_pipeline(spark, corpus_path, out, checkpoint_dir=ckpt)
+    assert info2["n_healed"] == info1["n_docs"]
+    assert info2["n_docs"] == 0  # nothing re-extracted
+    got = _read_text(spark, out)
+    assert len(got) == info1["n_docs"]  # no duplicate text rows
+
+    # spans restored from the nested column, no duplicates
+    spans = spark.read.parquet(os.path.join(out, "documents_spans"))
+    n_spans_expected = sum(r["n_spans"] for r in got.values())
+    assert spans.count() == n_spans_expected
+
+    # healing is idempotent: a third run changes nothing
+    info3 = run_pipeline(spark, corpus_path, out, checkpoint_dir=ckpt)
+    assert info3["n_healed"] == 0 and info3["n_docs"] == 0
+    assert spark.read.parquet(
+        os.path.join(out, "documents_spans")).count() == n_spans_expected
