@@ -490,18 +490,24 @@ FROM buckets l JOIN buckets r
 """
 
 
+_NGRAM_MAX_DF = 50  # hot-shingle document-frequency cap (see dedup.py)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return dd.ngram_jaccard_pairs(docs, k=3, threshold=0.2,
+                                  max_df=_NGRAM_MAX_DF)
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH sh AS ({_SH_SQL}),
 toks AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS tok FROM sh),
 sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+hot AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) > {_NGRAM_MAX_DF}),
+capped AS (SELECT id, tok FROM toks ANTI JOIN hot USING (tok)),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  FROM capped a JOIN capped b ON a.tok = b.tok AND a.id < b.id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
@@ -511,13 +517,73 @@ JOIN sizes sb ON sb.id = id_b
 WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.2
 """
 
+# k = 1 shingles (plain words) for the SimHash family - mechanically
+# parallel to dedup.shingles(text, 1)
+_SH1_SQL = """
+  SELECT doc_id,
+    CASE WHEN len(w) < 1 THEN []
+         ELSE list_transform(generate_series(0, len(w) - 1),
+                             i -> array_to_string(list_slice(w, i + 1, i + 1), ' '))
+    END AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)
+"""
+
+
+def _simhash_sig_sql() -> str:
+    """DuckDB twin of dedup.simhash64: per-bit +-1 votes over the hashed
+    k=1 shingles, bit set where the vote sum is positive."""
+    votes = ",\n         ".join(
+        f"list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) AS v{j}"
+        for j in range(60))
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60))
+    return f"""
+sh1 AS ({_SH1_SQL}),
+hs AS (SELECT doc_id, list_transform(sh, s ->
+         ('0x' || substr(md5('0|' || s), 1, 15))::BIGINT) AS hs FROM sh1),
+votes AS (SELECT doc_id,
+         {votes}
+  FROM hs),
+sig AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes)
+"""
+
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash per document - rows-only check (the 60-bit vote aggregate
-    is not reasonably expressible in ANSI SQL)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id",
                        dd.simhash64(F.col("text"), k=1).alias("simhash"))
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_simhash_sig_sql()}
+SELECT doc_id, simhash FROM sig
+"""
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Hamming-near pairs via banded bit-chunk LSH + popcount filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_hamming_pairs(docs, k=1, bands=4, max_hamming=3)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH {_simhash_sig_sql()},
+buckets AS (
+  SELECT doc_id AS id, simhash,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+                 (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS chunk
+  FROM sig),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+         l.simhash AS sig_a, r.simhash AS sig_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.chunk = r.chunk AND l.id < r.id)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -553,12 +619,61 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
 
 
+_ND_BANDS = 4          # banded sign-LSH for the bucketed near-dup query
+_ND_PLANES_PER_BAND = 2
+
+
 def q_sim_near_dup(spark, sf_dir):
+    """Near-dup pairs, banded-LSH-bucketed (the 100 TB path): candidates
+    from a (band, chunk) equi-join - a hash join, never a cross join -
+    then exact cosine on the candidates (~0.89 recall vs the exact twin
+    at this threshold)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs_lsh(
+        emb, dim=64, threshold=0.45,
+        bands=_ND_BANDS, planes_per_band=_ND_PLANES_PER_BAND, seed=42)
+
+
+def _near_dup_lsh_sql() -> str:
+    planes = sim.hyperplanes(64, _ND_BANDS * _ND_PLANES_PER_BAND, 42)
+
+    def chunk(col: str, b: int) -> str:
+        terms = []
+        for j in range(_ND_PLANES_PER_BAND):
+            plane = planes[b * _ND_PLANES_PER_BAND + j]
+            arr = "[" + ",".join(repr(v) for v in plane) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr}) >= 0"
+                f" THEN {2 ** j} ELSE 0 END)")
+        return " + ".join(terms)
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {b} AS band, ({chunk('embedding', b)}) AS chunk"
+        f" FROM embeddings"
+        for b in range(_ND_BANDS))
+    return f"""
+WITH buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.chunk = r.chunk AND l.id < r.id)
+SELECT id_a, id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM cand
+JOIN embeddings a ON a.vec_id = id_a
+JOIN embeddings b ON b.vec_id = id_b
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+"""
+
+
+def q_sim_near_dup_exact(spark, sf_dir):
+    """All-pairs exact twin of sim_near_dup - the small-sf recall oracle
+    for the bucketed variant (O(n^2); never run this shape at scale)."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.cosine_near_dup_pairs(emb, threshold=0.45)
 
 
-SQL_SIM_NEAR_DUP = f"""
+SQL_SIM_NEAR_DUP_EXACT = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -598,16 +713,49 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 
 
 def q_sim_topk_ivf(spark, sf_dir):
-    """ANN via an IVF coarse quantizer (mini k-means centroids + cell
-    pruning).  Rows-only check: the centroids come from float-sum
-    aggregations whose partial ordering is engine-specific, so a SQL twin
-    cannot be bit-stable."""
+    """ANN via an IVF coarse quantizer with deterministic seed centroids
+    (the 4 lowest-vec_id vectors; ``iters=0``).  Lloyd refinement
+    (``iters>=1``) stays available in the library but is not oracle-able:
+    its float-sum aggregations have engine-specific partial ordering.
+    With seed centroids every distance is a sequential f64 fold on both
+    engines, so the oracle is bit-stable."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = sim.ivf_centroids(emb, n_cells=4, iters=1)
+    centroids = sim.ivf_centroids(emb, n_cells=4, iters=0)
     qv = [float(x) for x in
           emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return sim.topk_cosine_ivf(emb.filter(F.col("vec_id") != 0), qv,
                                centroids, k=10, n_probe=2)
+
+
+def _sq_dist_sql(a: str, b: str) -> str:
+    """Sequential-fold squared L2 - bit-parallel to similarity._sq_dist
+    (list_sum accumulates in list order, matching Spark's aggregate)."""
+    return (f"list_sum(list_transform(generate_series(1, 64), i -> "
+            f"({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+            f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))")
+
+
+SQL_SIM_TOPK_IVF = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+qprobe AS (
+  SELECT c.cell, row_number() OVER (
+    ORDER BY {_sq_dist_sql('q.embedding', 'c.embedding')}, c.cell) AS rn
+  FROM cents c, q),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY {_sq_dist_sql('e.embedding', 'c.embedding')}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id != 0)
+SELECT e.vec_id, round({_cos_sql('e.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM assigned e, q
+WHERE e.rn = 1 AND e.cell IN (SELECT cell FROM qprobe WHERE rn <= 2)
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -617,7 +765,12 @@ def q_sim_topk_ivf(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Treat document text bytes as an opaque media payload and run the
-    vectorized feature-extraction plumbing (deterministic fake decode)."""
+    vectorized feature-extraction plumbing (deterministic fake decode).
+
+    The checked feature recovers the integer histogram count for nibble 6
+    (bytes 0x60-0x6F) from the float32 ratio: ratio * n_bytes rounds back
+    to the exact count (f32 relative error ~6e-8 << 0.5/n_bytes), so the
+    oracle compares integers, immune to f32-vs-f64 rounding skew."""
     from livre_spark.functions.multimodal import extract_media_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -625,9 +778,27 @@ def q_multimodal_features(spark, sf_dir):
                         F.lit("image").alias("kind"),
                         F.encode(F.col("text"), "UTF-8").alias("content"))
     feats = extract_media_features(media, fake=True)
-    return feats.select("media_id", "kind", "n_bytes", "width", "height",
-                        F.round(F.element_at("features", 1), 6).alias("f0"),
-                        "error")
+    return feats.select(
+        "media_id", "kind", "n_bytes", "width", "height",
+        F.round(F.element_at("features", 7).cast("double")
+                * F.col("n_bytes"), 0).cast("long").alias("f6_count"),
+        "error")
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id, 'image' AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         length(text) - length(regexp_replace(text, '[`a-o]', '', 'g'))
+           AS f6_count
+  FROM documents)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(n_bytes % 640 + 1 AS INTEGER) AS width,
+       CAST((n_bytes // 640) % 480 + 1 AS INTEGER) AS height,
+       CAST(f6_count AS BIGINT) AS f6_count,
+       CAST(NULL AS VARCHAR) AS error
+FROM m
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -655,8 +826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_topk": q_sim_topk,
         "sim_near_dup": q_sim_near_dup,
+        "sim_near_dup_exact": q_sim_near_dup_exact,
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
         "multimodal_features": q_multimodal_features,
@@ -687,9 +860,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
         "sim_topk": SQL_SIM_TOPK,
-        "sim_near_dup": SQL_SIM_NEAR_DUP,
+        "sim_near_dup": _near_dup_lsh_sql(),
+        "sim_near_dup_exact": SQL_SIM_NEAR_DUP_EXACT,
         "sim_topk_lsh": _lsh_oracle_sql(),
-        # rows-only (non-SQL): dedup_simhash, multimodal_features,
-        # sim_topk_ivf
+        "sim_topk_ivf": SQL_SIM_TOPK_IVF,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
     }

@@ -101,47 +101,123 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .distinct())
 
 
+SIMHASH_BITS = 60  # md5_long is 60 bits
+
+
+def _bit_votes(h: Column) -> Column:
+    """Per-shingle vote vector: +1 where bit j of h is set, else -1.
+
+    ``shiftright`` is invoked through ``call_function`` because the SQL
+    builtin accepts a column shift amount while the PySpark wrapper only
+    takes a Python int.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda j: F.when(
+            F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1)))
+
+
 def simhash64(text: Column, k: int = 1) -> Column:
-    """64-bit SimHash over word shingles.
+    """60-bit SimHash over word shingles.
 
     bit_j(doc) = sign( sum over shingles of (bit_j(h(s)) ? +1 : -1) );
     built entirely from higher-order array functions + bit ops.
+
+    One-pass fold: a single ``aggregate`` carries all 60 vote counters as
+    an array accumulator (one scan of the hashed-shingle array per doc,
+    instead of 60 per-bit scans).
     """
     sh = shingles(text, k)
     hashed = F.transform(sh, lambda s: _mh(s, 0))
-    bits = []
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, _bit_votes(h), lambda a, v: a + v))
+    powers = F.array(*[F.lit(1 << j).cast("long")
+                       for j in range(SIMHASH_BITS)])
+    return F.aggregate(
+        F.zip_with(votes, powers,
+                   lambda v, p: F.when(v > 0, p)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x)
 
-    def vote_fn(j):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1)).otherwise(F.lit(-1))
 
-    for j in range(60):  # md5_long is 60 bits
-        votes = F.aggregate(hashed, F.lit(0), vote_fn(j))
-        bits.append(F.when(votes > 0, F.lit(1).cast("long"))
-                    .otherwise(F.lit(0).cast("long")) * F.lit(2 ** j).cast("long"))
-    acc = bits[0]
-    for b in bits[1:]:
-        acc = acc + b
-    return acc
+def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 1,
+                          bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Hamming-near pairs over the 60-bit SimHash - banded bit-chunk LSH.
+
+    The signature is split into ``bands`` equal bit chunks; by pigeonhole,
+    any pair within ``max_hamming`` bits (with ``bands > max_hamming``)
+    agrees exactly on at least one chunk, so the chunk-equality bucket
+    join has 100% recall.  Candidates are then popcount-filtered
+    (``bit_count(sig_a XOR sig_b)``), all JVM-side.
+
+    Scale shape: one explode (x bands) + one shuffle on (band, chunk);
+    never an all-pairs join.  Hot chunks (e.g. the all-zeros signature of
+    empty docs) are the residual skew risk, same as any LSH bucket join.
+    """
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for full recall")
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sigs = df.select(F.col(id_col).alias("id"),
+                     simhash64(F.col(text_col), k).alias("sig"))
+    chunks = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("sig"), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("chunk"))
+        for b in range(bands)])
+    buckets = (sigs.select("id", "sig", F.explode(chunks).alias("bb"))
+               .select("id", "sig", F.col("bb.band").alias("band"),
+                       F.col("bb.chunk").alias("chunk")))
+    return (buckets.alias("l")
+            .join(buckets.alias("r"),
+                  [F.col("l.band") == F.col("r.band"),
+                   F.col("l.chunk") == F.col("r.chunk"),
+                   F.col("l.id") < F.col("r.id")])
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+            .distinct()
+            .withColumn("hamming",
+                        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                        .cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity via an inverted shingle index.
 
     explode -> distinct (id, shingle) -> self-join on shingle ->
     intersection counts -> Jaccard.  The shingle join is the classic
-    entity-resolution blocking shuffle; hot shingles would be dropped by
-    a frequency cap at real scale (left as the `max_df` knob).
+    entity-resolution blocking shuffle.
+
+    ``max_df``: drop shingles shared by more than ``max_df`` documents
+    before the self-join.  Without a cap, one stop-shingle shared by 1M
+    docs creates a ~10^12-row join bucket at 100 TB; with it, the hottest
+    bucket is bounded at max_df^2 pairs.  Capped shingles no longer count
+    toward intersections (denominator sizes stay full-set), so reported
+    jaccard is a lower bound for pairs that shared a hot shingle - the
+    standard blocking trade.  The hot-shingle list is tiny (df > cap), so
+    the exclusion is a broadcast anti-join, not a shuffle.
     """
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(shingles(F.col(text_col), k)).alias("sh"))
             .distinct())
     sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
-    inter = (toks.alias("a")
-             .join(toks.alias("b"),
+    join_toks = toks
+    if max_df is not None:
+        hot = (toks.groupBy("sh").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("sh"))
+        join_toks = toks.join(F.broadcast(hot), "sh", "left_anti")
+    inter = (join_toks.alias("a")
+             .join(join_toks.alias("b"),
                    [F.col("a.sh") == F.col("b.sh"),
                     F.col("a.id") < F.col("b.id")])
              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

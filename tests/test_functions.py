@@ -148,3 +148,51 @@ def test_ivf_topk(spark, embeddings):
                               [1.0, 0.0, 0.0, 0.0], cents, k=3, n_probe=1)
     ids = [r["vec_id"] for r in got.collect()]
     assert 1 in ids  # nearest neighbour is inside the probed cell
+
+
+def test_simhash_hamming_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dd.simhash_hamming_pairs(docs, k=1, bands=4,
+                                      max_hamming=3).collect()}
+    assert pairs.get((0, 3)) == 0     # exact dups: hamming 0
+    assert (0, 2) not in pairs        # disjoint text is far in hamming
+    # pigeonhole guarantee: every pair <= max_hamming is found (brute check)
+    sigs = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", dd.simhash64(F.col("text"), k=1).alias("sh")).collect()}
+    expected = {(a, b) for a in sigs for b in sigs if a < b
+                and bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    assert set(pairs) == expected
+
+
+def test_simhash_hamming_pairs_bands_validation(spark, docs):
+    with pytest.raises(ValueError):
+        dd.simhash_hamming_pairs(docs, bands=3, max_hamming=3)
+
+
+def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
+    # 12 docs share the hot shingle "aaa bbb ccc"; two real near-dups
+    # share much more.  With max_df=5 the hot shingle is excluded from
+    # the join, so the hot-only pairs disappear but the real pair stays.
+    rows = [(i, f"aaa bbb ccc unique{i} word{i} token{i}") for i in range(12)]
+    rows += [(100, "xxx yyy zzz www vvv uuu"),
+             (101, "xxx yyy zzz www vvv ttt")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {(r["id_a"], r["id_b"]) for r in
+              dd.ngram_jaccard_pairs(df, k=3, threshold=0.1,
+                                     max_df=5).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    # uncapped finds the hot-shingle pairs (sanity that the cap did it)
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                dd.ngram_jaccard_pairs(df, k=3, threshold=0.1).collect()}
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+
+
+def test_cosine_near_dup_pairs_lsh_recall(spark, embeddings):
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           sim.cosine_near_dup_pairs_lsh(embeddings, dim=4, threshold=0.95,
+                                         bands=4, planes_per_band=2).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in
+             sim.cosine_near_dup_pairs(embeddings, threshold=0.95).collect()}
+    assert lsh <= exact               # bucketing never invents pairs
+    assert (0, 1) in lsh              # the near-identical pair is found
