@@ -21,6 +21,10 @@ from .content import fmt_f32
 HEADER = b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n"
 
 
+def _ahx(data: bytes) -> bytes:
+    return data.hex().encode("ascii").upper() + b">"
+
+
 def esc_literal(raw: bytes) -> bytes:
     """Escape bytes for a literal string: backslash, parens."""
     return (raw.replace(b"\\", b"\\\\")
@@ -67,10 +71,17 @@ class PdfBuilder:
         self.objects[oid] = value
 
     def add_stream(self, extra_dict: bytes, content: bytes,
-                   flate: bool = False) -> int:
-        if flate:
+                   flate: bool = False, ahx: bool = False) -> int:
+        if flate and ahx:
+            # decode order ASCIIHex -> Flate, so encode Flate -> ASCIIHex
+            content = _ahx(zlib.compress(content))
+            extra_dict += b"/Filter[/ASCIIHexDecode/FlateDecode]"
+        elif flate:
             content = zlib.compress(content)
             extra_dict += b"/Filter/FlateDecode"
+        elif ahx:
+            content = _ahx(content)
+            extra_dict += b"/Filter/ASCIIHexDecode"
         d = b"<</Length " + str(len(content)).encode() + extra_dict + b">>"
         return self.add(d + b"stream\n" + content + b"\nendstream")
 
@@ -194,7 +205,7 @@ def make_object_stream(builder: PdfBuilder, values: list[bytes],
 
 
 def build_pdf(page_contents: list[bytes | None], *,
-              xref: str = "plain", flate: bool = False,
+              xref: str = "plain", flate: bool = False, ahx: bool = False,
               nested_tree: bool = False, contents_array: bool = False,
               use_objstm: bool = False) -> bytes:
     """Assemble a document whose pages carry the given content streams.
@@ -223,12 +234,12 @@ def build_pdf(page_contents: list[bytes | None], *,
                 # split only at a whitespace boundary to keep tokens whole
                 while half < len(content) and content[half] not in b" \n":
                     half += 1
-                c1 = b.add_stream(b"", content[:half], flate=flate)
-                c2 = b.add_stream(b"", content[half:], flate=flate)
+                c1 = b.add_stream(b"", content[:half], flate=flate, ahx=ahx)
+                c2 = b.add_stream(b"", content[half:], flate=flate, ahx=ahx)
                 contents_ref = (b"[" + str(c1).encode() + b" 0 R "
                                 + str(c2).encode() + b" 0 R]")
             else:
-                cid = b.add_stream(b"", content, flate=flate)
+                cid = b.add_stream(b"", content, flate=flate, ahx=ahx)
                 contents_ref = str(cid).encode() + b" 0 R"
             page_dict = (b"<</Type /Page /Parent " + str(root_pages_id).encode()
                          + b" 0 R /Contents " + contents_ref + b">>")
@@ -374,6 +385,17 @@ def fixture_cases() -> list[dict]:
 
     case("flate_content",
          build_pdf([_simple_content(lines)], flate=True),
+         _expected_simple(lines), 1)
+
+    # beyond-reference extension: ASCIIHexDecode (north_star names it;
+    # the reference rejects it, filtering.rs:50, so no reference fixture
+    # can conflict)
+    case("ahx_content",
+         build_pdf([_simple_content(lines)], ahx=True),
+         _expected_simple(lines), 1)
+
+    case("ahx_flate_chain",
+         build_pdf([_simple_content(lines)], flate=True, ahx=True),
          _expected_simple(lines), 1)
 
     case("hybrid_xref_incremental",
@@ -572,8 +594,9 @@ def generate_row(i: int, seed: int = 42) -> dict:
                 for _ in range(n_pages)]
     xref_style = "stream" if rng.random() < 0.3 else "plain"
     flate = rng.random() < 0.5
+    ahx = rng.random() < 0.15  # crawl PDFs use ASCIIHexDecode occasionally
     pdf = build_pdf([content for content, _ in rendered],
-                    xref=xref_style, flate=flate)
+                    xref=xref_style, flate=flate, ahx=ahx)
     expected = "".join(exp for _, exp in rendered)
     if roll < 0.06:  # ~1% truncated/corrupt
         pdf = pdf[: max(16, len(pdf) * 2 // 3)]

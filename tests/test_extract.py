@@ -92,3 +92,39 @@ def test_corpus_expected_text():
 def test_is_pdf():
     assert is_pdf(b"%PDF-1.7\nrest")
     assert not is_pdf(b"<html>")
+
+
+def test_asciihex_decode_vectors():
+    """Beyond-reference extension (north_star): PDF 32000-1 7.4.2."""
+    from livre_spark.pdf.errors import ParseError
+    from livre_spark.pdf.filters import asciihex_decode
+
+    assert asciihex_decode(b"48656C6C6F>") == b"Hello"
+    # PDF whitespace between digits is skipped
+    assert asciihex_decode(b"48 65\n6C\t6c 6F >") == b"Hello"
+    # odd trailing digit padded with 0
+    assert asciihex_decode(b"7>") == b"\x70"
+    # data after EOD ignored
+    assert asciihex_decode(b"41>GARBAGE") == b"A"
+    # no EOD marker: consume to end
+    assert asciihex_decode(b"4142") == b"AB"
+    assert asciihex_decode(b"") == b""
+    try:
+        asciihex_decode(b"4G>")
+        raise AssertionError("expected ParseError")
+    except ParseError:
+        pass
+
+
+def test_asciihex_pdf_end_to_end():
+    from livre_spark.pdf.api import extract_text
+    from livre_spark.pdf.genpdf import _simple_content, build_pdf
+
+    lines = ["hex encoded page", "second line"]
+    expected = "\n" + "\n".join(lines)
+    for kwargs in (dict(ahx=True), dict(ahx=True, flate=True),
+                   dict(ahx=True, xref="stream"),
+                   dict(ahx=True, contents_array=True)):
+        r = extract_text(build_pdf([_simple_content(lines)], **kwargs))
+        assert r["error"] is None, (kwargs, r["error"])
+        assert r["text"] == expected, kwargs
