@@ -41,7 +41,8 @@ EXTRACTED_SCHEMA = StructType([
 ])
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(batches: Iterator[pd.DataFrame],
+                     cmap: bool = False) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (url, html) batches -> EXTRACTED_SCHEMA batches."""
     from pyspark import TaskContext
 
@@ -57,7 +58,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 result = {"text": "", "spans": [], "n_pages": 0,
                           "error": "NotAPdf", "parse_ms": 0.0}
             else:
-                result = extract_text(buf)
+                result = extract_text(buf, cmap=cmap)
             rows["url"].append(url)
             rows["text"].append(result["text"])
             rows["n_pages"].append(result["n_pages"])
@@ -70,14 +71,20 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
-def extract_documents(pages: DataFrame) -> DataFrame:
+def extract_documents(pages: DataFrame, cmap: bool = False) -> DataFrame:
     """Run the extraction kernel over a (url, html) DataFrame.
 
     Columns are pruned to exactly (url, html) before the UDF so Catalyst
     pushes the projection into the scan (ReadSchema stays 2 columns).
+
+    ``cmap=True`` switches show-string decode to the opt-in /ToUnicode
+    CMap mode (pdf/cmap.py); the default stays reference-byte-identical.
     """
+    def body(batches):
+        return _extract_batches(batches, cmap=cmap)
+
     return pages.select("url", "html").mapInPandas(
-        _extract_batches, schema=EXTRACTED_SCHEMA)
+        body, schema=EXTRACTED_SCHEMA)
 
 
 def pdf_magic_filter(pages: DataFrame, html_col: str = "html") -> DataFrame:

@@ -16,7 +16,7 @@ from .document import open_document
 from .errors import ParseError
 
 
-def extract_text(buf: bytes) -> dict:
+def extract_text(buf: bytes, cmap: bool = False) -> dict:
     """Parse one PDF byte stream end-to-end.
 
     Returns ``{text, spans, n_pages, error, parse_ms}`` where
@@ -30,6 +30,11 @@ def extract_text(buf: bytes) -> dict:
     - ``error``: None on full success, else a stable error code (first
       error encountered; partial text/spans are retained when the
       failure is page-local).
+
+    ``cmap=True`` (extension beyond the reference, see cmap.py) decodes
+    show strings through each font's /ToUnicode CMap where one exists -
+    Type0/Identity-H glyph codes become readable Unicode.  The default
+    stays byte-identical to the reference heuristic.
     """
     t0 = time.perf_counter()
     text_parts: list[str] = []
@@ -47,7 +52,13 @@ def extract_text(buf: bytes) -> dict:
             except ParseError as exc:
                 error = error or exc.code
                 continue
-            page_text, page_spans, page_error = extract_page(content)
+            cmaps = None
+            if cmap:
+                try:
+                    cmaps = doc.page_tounicode_cmaps(page) or None
+                except Exception:
+                    cmaps = None
+            page_text, page_spans, page_error = extract_page(content, cmaps)
             if page_error and not error:
                 error = page_error
             text_parts.append(page_text)

@@ -335,7 +335,18 @@ def _preapply(op, matrix: _Matrix, params: _Params):
         matrix.move_to(0.0, -params.leading)
 
 
-def page_text_segments(ops):
+def _decode_show(raw, cur_font, cmaps) -> str:
+    """Show-string decode: the reference heuristic by default; the
+    current font's ToUnicode CMap when one is supplied (opt-in extension,
+    see cmap.py).  The ``"`` Display quirk never reaches here."""
+    if cmaps is not None and cur_font is not None:
+        cm = cmaps.get(cur_font)
+        if cm is not None:
+            return cm.decode(bytes(raw))
+    return ob.decode_pdf_string(raw)
+
+
+def page_text_segments(ops, cmaps=None):
     """Pass A - the page's *text* via Display concatenation.
 
     Returns ``(text, segments)`` where ``segments[op_index]`` is the list
@@ -344,19 +355,22 @@ def page_text_segments(ops):
     """
     parts: list[str] = []
     off = 0
+    cur_font = None
     segments: dict[int, list[tuple[int, int]]] = {}
     for idx, op in enumerate(ops):
         name = op[0]
         if name == b"BT":
             parts.append("\n")
             off += 1
+        elif name == b"Tf":
+            cur_font = op[1]
         elif name == b"Tj":
-            t = ob.decode_pdf_string(op[1])
+            t = _decode_show(op[1], cur_font, cmaps)
             segments[idx] = [(off, len(t))]
             parts.append(t)
             off += len(t)
         elif name == b"'":
-            t = ob.decode_pdf_string(op[1])
+            t = _decode_show(op[1], cur_font, cmaps)
             segments[idx] = [(off, len(t))]
             parts.append(t)
             parts.append("\n")
@@ -372,7 +386,7 @@ def page_text_segments(ops):
             segs = []
             for kind, value in op[1]:
                 if kind == "str":
-                    t = ob.decode_pdf_string(value)
+                    t = _decode_show(value, cur_font, cmaps)
                     segs.append((off, len(t)))
                     parts.append(t)
                     off += len(t)
@@ -460,13 +474,13 @@ def page_spans(ops, segments):
         # after ET (or ops exhausted): look for the next BT
 
 
-def extract_page_twopass(content: bytes):
+def extract_page_twopass(content: bytes, cmaps=None):
     """Reference-shaped two-pass extraction (tokenize -> Display text ->
     span state machine).  Kept as the equivalence oracle for the fused
     single-pass implementation below (tests assert byte-identical output
     over the fixture corpus)."""
     ops, error = tokenize(content)
-    text, segments = page_text_segments(ops)
+    text, segments = page_text_segments(ops, cmaps)
     spans, span_error = page_spans(ops, segments)
     return text, spans, error or span_error
 
@@ -475,7 +489,7 @@ def extract_page_twopass(content: bytes):
 _OUTSIDE, _BUILD, _ITER, _DEAD = 0, 1, 2, 3
 
 
-def extract_page(content: bytes):
+def extract_page(content: bytes, cmaps=None):
     """Page content bytes -> ``(text, spans, error)`` - fused single pass.
 
     Semantically identical to :func:`extract_page_twopass` (and therefore
@@ -492,6 +506,7 @@ def extract_page(content: bytes):
     """
     parts: list[str] = []
     off = 0
+    cur_font = None
     spans: list[tuple[float, float, int, int]] = []
     tok_error = None
     span_error = None
@@ -554,6 +569,7 @@ def extract_page(content: bytes):
             if state == _ITER:
                 state = _OUTSIDE
         elif name == b"Tf":
+            cur_font = op[1]
             if state == _BUILD:
                 state = _ITER
             elif state == _ITER:
@@ -561,13 +577,13 @@ def extract_page(content: bytes):
                 state = _DEAD
         elif name in _SHOWING_OPS:
             if name == b"Tj":
-                t = ob.decode_pdf_string(op[1])
+                t = _decode_show(op[1], cur_font, cmaps)
                 seg = (off, len(t))
                 parts.append(t)
                 off += len(t)
                 segs = (seg,)
             elif name == b"'":
-                t = ob.decode_pdf_string(op[1])
+                t = _decode_show(op[1], cur_font, cmaps)
                 seg = (off, len(t))
                 parts.append(t)
                 parts.append("\n")
@@ -584,7 +600,7 @@ def extract_page(content: bytes):
                 segs = []
                 for kind, value in op[1]:
                     if kind == "str":
-                        t = ob.decode_pdf_string(value)
+                        t = _decode_show(value, cur_font, cmaps)
                         segs.append((off, len(t)))
                         parts.append(t)
                         off += len(t)

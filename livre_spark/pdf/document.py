@@ -233,6 +233,39 @@ class Document:
             parts.append(self.build(ref, _stream_content_parser))
         return b"".join(parts)
 
+    def page_tounicode_cmaps(self, page: Page) -> dict:
+        """Opt-in extension (NOT reference behavior - the reference never
+        touches /Font): resolve the page's /Resources -> /Font map and
+        parse each font's /ToUnicode CMap stream.  Used only by
+        ``extract_text(..., cmap=True)``; fully contained - any failure
+        just leaves that font without a CMap (heuristic decode fallback).
+        """
+        from .cmap import parse_tounicode
+
+        res = page.props.resources
+        if res is None:
+            return {}
+        try:
+            if isinstance(res, ob.Ref):
+                res = self.build(
+                    res, lambda d, b, p: _parse_resources(b, p))
+        except ParseError:
+            return {}
+        fonts = res.get("font") if isinstance(res, dict) else None
+        if not fonts:
+            return {}
+        cmaps = {}
+        for name, ref in fonts.items():
+            try:
+                tu_ref = self.build(ref, _font_tounicode_parser)
+                if tu_ref is None:
+                    continue
+                data = self.build(tu_ref, _stream_content_parser)
+                cmaps[bytes(name)] = parse_tounicode(data)
+            except Exception:
+                continue
+        return cmaps
+
 
 # --- typed per-object parsers (the ``Build`` impls) --------------------------
 
@@ -271,6 +304,12 @@ def _stream_content_parser(doc: Document, buf: bytes, pos: int):
     raw, p = ob.parse_raw_dict(buf, pos)
     content, p = ob.parse_stream_from_dict(buf, p, raw)
     return content, p
+
+
+def _font_tounicode_parser(doc: Document, buf: bytes, pos: int):
+    """Font dict -> its /ToUnicode reference (or None).  Extension-only."""
+    raw, p = ob.parse_raw_dict(buf, pos)
+    return raw.pop_and_parse(b"ToUnicode", ob.parse_reference), p
 
 
 def _object_stream_parser(doc: Document, buf: bytes, pos: int):

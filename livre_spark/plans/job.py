@@ -145,6 +145,7 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
                  checkpoint_dir: str | None = None,
                  dedup_snapshots: bool = True,
                  write_spans: bool = True,
+                 cmap: bool = False,
                  run_id: str | None = None) -> dict:
     """Execute the full pipeline; returns output locations + counts."""
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -161,7 +162,7 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
     pages = size_bucketed_repartition(pages)
 
     # the ONLY action that runs the UDF: text + nested spans in one write
-    (extract_documents(pages)
+    (extract_documents(pages, cmap=cmap)
      .withColumn("run_id", F.lit(run_id))
      .write.mode("append").parquet(text_path))
 

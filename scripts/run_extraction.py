@@ -30,6 +30,9 @@ def main() -> None:
     parser.add_argument("--output", required=True)
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--no-spans", action="store_true")
+    parser.add_argument("--cmap", action="store_true",
+                        help="decode via /ToUnicode CMaps (extension; "
+                             "default stays reference-byte-identical)")
     parser.add_argument("--no-dedup", action="store_true")
     parser.add_argument("--local-cores", default=None,
                         help="run on local[N] (sandbox); omit on a cluster")
@@ -51,7 +54,8 @@ def main() -> None:
     info = run_pipeline(spark, args.input, args.output,
                         checkpoint_dir=args.checkpoint,
                         dedup_snapshots=not args.no_dedup,
-                        write_spans=not args.no_spans)
+                        write_spans=not args.no_spans,
+                        cmap=args.cmap)
     print(info)
     spark.stop()
 
