@@ -191,14 +191,25 @@ class Document:
             rid, value, _ = ob.parse_indirect(
                 self.buf, offset, lambda b, p: parser(self, b, p))
             return value
-        # compressed: build the owning ObjectStream, then index into it
+        # compressed: build the owning ObjectStream, then index into it,
+        # following the /Extends chain on a miss (object_stream.rs:71-92,
+        # the reference's build_owned_object; its own document-open path
+        # uses build_object which does not follow - we follow, a strict
+        # superset that changes no fixture behavior).  The visited set
+        # guards against /Extends cycles in hostile inputs.
         stream_id = loc[1]
-        objstm = self._object_stream(stream_id)
-        off = objstm.offsets.get(ref.id)
-        if off is None:
-            raise ParseError("MissingCompressedObject", None, str(ref.id))
-        value, _ = parser(self, objstm.content, off)
-        return value
+        visited: set[int] = set()
+        while True:
+            visited.add(stream_id)
+            objstm = self._object_stream(stream_id)
+            off = objstm.offsets.get(ref.id)
+            if off is not None:
+                value, _ = parser(self, objstm.content, off)
+                return value
+            ext = objstm.extends
+            if ext is None or ext.object in visited:
+                raise ParseError("MissingCompressedObject", None, str(ref.id))
+            stream_id = ext.object
 
     def _object_stream(self, stream_id: int) -> ObjectStream:
         cached = self._objstm_cache.get(stream_id)

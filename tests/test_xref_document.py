@@ -178,3 +178,72 @@ def test_inheritance_merge_semantics():
     assert child.crop_box == (1, 1, 2, 2)        # child wins
     assert child.rotate == 90
     assert child.resources is None               # never inherited
+
+
+def test_objstm_extends_chain_followed():
+    """An object whose xref type-2 entry points at a CHILD object stream
+    that doesn't contain it is found by walking /Extends to the parent
+    (object_stream.rs:71-92 build_owned_object; strict superset of the
+    reference's document-open path, which would error)."""
+    from livre_spark.pdf.document import open_document
+    from livre_spark.pdf.genpdf import PdfBuilder, make_object_stream
+
+    b = PdfBuilder()
+    catalog_id = b.reserve()
+    pages_id = b.reserve()
+    page_id = b.reserve()
+    content_id = b.add_stream(b"", b"BT /F1 9 Tf 10 10 Td (via-extends) Tj ET")
+    b.set(catalog_id, b"<</Type/Catalog/Pages "
+          + str(pages_id).encode() + b" 0 R>>")
+    b.set(pages_id, b"<</Type/Pages/Kids["
+          + str(page_id).encode() + b" 0 R]/Count 1>>")
+    # the PAGE object lives in a parent ObjStm...
+    parent_sid, parent_members = make_object_stream(
+        b, [b"<</Type/Page/Parent " + str(pages_id).encode()
+            + b" 0 R/Contents " + str(content_id).encode() + b" 0 R>>"])
+    real_page_oid = next(iter(parent_members))
+    # ...but the xref claims it lives in a CHILD stream that /Extends the
+    # parent and does not actually contain it
+    child_sid, child_members = make_object_stream(b, [b"<</Dummy 1>>"])
+    b.objects[child_sid] = b.objects[child_sid].replace(
+        b"/Type/ObjStm",
+        b"/Type/ObjStm/Extends " + str(parent_sid).encode() + b" 0 R")
+    # fix /Length: the dict prefix grew, content didn't - Length is still
+    # correct because we only edited the dict, not the stream body
+    members = dict(child_members)
+    members[real_page_oid] = (child_sid, 0)
+    # remap page_id -> the ObjStm member id in the Kids array
+    b.objects[pages_id] = b.objects[pages_id].replace(
+        str(page_id).encode() + b" 0 R",
+        str(real_page_oid).encode() + b" 0 R")
+    pdf, _ = b.serialize_xref_stream(catalog_id, objstm_members=members)
+
+    doc = open_document(pdf)
+    pages = doc.pages()
+    assert len(pages) == 1
+    text = doc.build_content(pages[0])
+    assert b"via-extends" in text
+
+
+def test_objstm_extends_cycle_contained():
+    """A hostile /Extends cycle must error, not loop forever."""
+    from livre_spark.pdf.api import extract_text
+    from livre_spark.pdf.genpdf import PdfBuilder, make_object_stream
+
+    b = PdfBuilder()
+    catalog_id = b.reserve()
+    pages_id = b.reserve()
+    b.set(catalog_id, b"<</Type/Catalog/Pages "
+          + str(pages_id).encode() + b" 0 R>>")
+    missing_id = b.reserve()
+    b.set(pages_id, b"<</Type/Pages/Kids["
+          + str(missing_id).encode() + b" 0 R]/Count 1>>")
+    sid, members = make_object_stream(b, [b"<</Dummy 1>>"])
+    b.objects[sid] = b.objects[sid].replace(
+        b"/Type/ObjStm",
+        b"/Type/ObjStm/Extends " + str(sid).encode() + b" 0 R")  # self-cycle
+    members = dict(members)
+    members[missing_id] = (sid, 0)
+    pdf, _ = b.serialize_xref_stream(catalog_id, objstm_members=members)
+    r = extract_text(pdf)
+    assert r["error"] == "MissingCompressedObject"
