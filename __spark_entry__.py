@@ -763,6 +763,62 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# HTML axis (north rule: boilerplate strip + DOM heuristics) - the html
+# document is constructed deterministically from documents.text on BOTH
+# engines, then the shared regex/array pipeline extracts it back
+# ---------------------------------------------------------------------------
+
+_HTML_PREFIX = ('<html><head><title>t</title><style>p{margin:0}</style>'
+                '<script>var x=\'</p>\';</script></head><body>'
+                '<div><a href="/nav">nav one</a> <a href="/n2">nav two</a>'
+                '</div><p>')
+_HTML_SUFFIX = ('</p><div><a href="/f">footer links here</a></div>'
+                '<!-- footer --></body></html>')
+
+
+def _mk_html_col():
+    return F.concat(F.lit(_HTML_PREFIX),
+                    F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+                    F.lit(_HTML_SUFFIX))
+
+
+def _mk_html_sql() -> str:
+    pre = _HTML_PREFIX.replace("'", "''")
+    suf = _HTML_SUFFIX.replace("'", "''")
+    return f"'{pre}' || replace(text, chr(10), '</p><p>') || '{suf}'"
+
+
+def q_html_strip(spark, sf_dir):
+    """Plain boilerplate strip (script/style/comments out, tags out,
+    entities decoded, whitespace collapsed) - pure codegen."""
+    from livre_spark.functions.htmltext import strip_tags
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", strip_tags(_mk_html_col()).alias("body"))
+
+
+def q_html_main(spark, sf_dir):
+    """Readability-lite main content: block split + text/link-density
+    keep rule drops the nav/footer link farms."""
+    from livre_spark.functions.htmltext import main_content
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", main_content(_mk_html_col()).alias("body"))
+
+
+def _html_oracle_sql() -> dict:
+    from livre_spark.functions.htmltext import sql_main_content, sql_strip_tags
+
+    h = _mk_html_sql()
+    return {
+        "html_strip": f"SELECT doc_id, {sql_strip_tags(h)} AS body"
+                      " FROM documents",
+        "html_main": f"SELECT doc_id, {sql_main_content(h)} AS body"
+                     " FROM documents",
+    }
+
+
 def q_multimodal_features(spark, sf_dir):
     """Treat document text bytes as an opaque media payload and run the
     vectorized feature-extraction plumbing (deterministic fake decode).
@@ -833,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
         "multimodal_features": q_multimodal_features,
+        "html_strip": q_html_strip,
+        "html_main": q_html_main,
     }
 
 
@@ -868,4 +926,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_lsh": _lsh_oracle_sql(),
         "sim_topk_ivf": SQL_SIM_TOPK_IVF,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        **_html_oracle_sql(),
     }

@@ -93,8 +93,42 @@ def pdf_magic_filter(pages: DataFrame, html_col: str = "html") -> DataFrame:
     ``substring`` on a binary column stays inside whole-stage codegen and
     is pushed toward the scan.
     """
-    return pages.filter(
-        F.decode(F.expr(f"substring({html_col}, 1, 5)"), "ISO-8859-1") == "%PDF-")
+    return pages.filter(_pdf_magic(html_col))
+
+
+def _pdf_magic(html_col: str) -> F.Column:
+    return F.decode(
+        F.expr(f"substring({html_col}, 1, 5)"), "ISO-8859-1") == "%PDF-"
+
+
+def extract_html_documents(pages: DataFrame,
+                           mode: str = "main") -> DataFrame:
+    """HTML-axis extraction (north rule: boilerplate strip + DOM
+    heuristics) producing EXTRACTED_SCHEMA rows - pure JVM Column
+    expressions (functions/htmltext.py), whole-stage codegen, no Python.
+
+    ``mode``: ``"main"`` = readability-lite main content;
+    ``"strip"`` = plain tag strip.
+    """
+    from ..functions.htmltext import main_content, strip_tags
+
+    # lenient binary->string cast, NOT decode('UTF-8'): Spark 4's decode
+    # throws MALFORMED_CHARACTER_CODING on invalid bytes - one poisoned
+    # crawl row must not kill the job.  The cast wraps the bytes without
+    # validation; the regex pipeline is ASCII-structural so invalid
+    # sequences flow through opaquely into the text.
+    doc = F.col("html").cast("string")
+    txt = main_content(doc) if mode == "main" else strip_tags(doc)
+    return pages.select(
+        F.col("url"),
+        txt.alias("text"),
+        F.lit(0).cast("int").alias("n_pages"),
+        F.lit(0).cast("int").alias("n_spans"),
+        F.array().cast(ArrayType(SPAN_TYPE)).alias("spans"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit(0.0).alias("parse_ms"),
+        F.length("html").cast("long").alias("bytes_in"),
+        F.spark_partition_id().alias("partition_id"))
 
 
 def explode_spans(extracted: DataFrame) -> DataFrame:

@@ -579,10 +579,22 @@ def generate_row(i: int, seed: int = 42) -> dict:
     lang = ("en", "fr", "de", "es", "it")[i % 5]
     roll = rng.random()
     if roll < 0.05:
-        html = ("<html><body>" + " ".join(rng.choice(_WORDS) for _ in range(30))
-                + "</body></html>").encode()
+        # realistic crawl HTML: nav/footer link-farms, script/style,
+        # comments - and a main content whose extraction is golden by
+        # construction (functions/htmltext.py main_content keeps exactly
+        # the paragraph blocks: non-anchor text >= 25 chars, no anchors)
+        paras = [" ".join(rng.choice(_WORDS) for _ in range(rng.randint(15, 40)))
+                 for _ in range(rng.randint(1, 4))]
+        nav = " ".join(f'<a href="/{rng.choice(_WORDS)}">'
+                       f'{rng.choice(_WORDS)} {rng.choice(_WORDS)}</a>'
+                       for _ in range(5))
+        html = ("<html><head><title>t</title><style>p{margin:0}</style>"
+                "<script>var x='</p>';</script></head><body>"
+                f"<div>{nav}</div>"
+                + "".join(f"<p>{p}</p>" for p in paras)
+                + f"<div>{nav}</div><!-- footer --></body></html>").encode()
         return dict(url=url, html=html, lang=lang, kind="html",
-                    expected_text=None, n_pages=0)
+                    expected_text="\n".join(paras), n_pages=0)
     tail = rng.random()
     if tail < 0.90:
         n_pages = rng.randint(1, 3)

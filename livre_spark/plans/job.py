@@ -146,8 +146,15 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
                  dedup_snapshots: bool = True,
                  write_spans: bool = True,
                  cmap: bool = False,
+                 html_mode: str | None = None,
                  run_id: str | None = None) -> dict:
-    """Execute the full pipeline; returns output locations + counts."""
+    """Execute the full pipeline; returns output locations + counts.
+
+    ``html_mode``: route non-PDF rows that look like HTML through the
+    JVM-side boilerplate-strip/DOM-heuristic extractor (north rule's
+    HTML axis) - ``"main"`` or ``"strip"``; ``None`` (default) keeps
+    the PDF-only behavior.
+    """
     run_id = run_id or uuid.uuid4().hex[:12]
     text_path = _text_path(output_dir)
 
@@ -157,12 +164,23 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
     pages = read_pages(spark, source)
     if dedup_snapshots and "warc_ts" in pages.columns:
         pages = latest_per_url(pages)
-    pages = pdf_magic_filter(pages)
     pages = filter_done(pages, checkpoint_dir)
-    pages = size_bucketed_repartition(pages)
+
+    pdf_pages = size_bucketed_repartition(pdf_magic_filter(pages))
+    extracted = extract_documents(pdf_pages, cmap=cmap)
+    if html_mode is not None:
+        from ..functions.htmltext import looks_like_html
+        from ..operators.extraction import _pdf_magic, extract_html_documents
+
+        html_pages = pages.filter(~_pdf_magic("html")
+                                  & looks_like_html("html"))
+        # the HTML branch is pure codegen (no UDF, no skew shuffle - the
+        # regex pipeline cost is linear in bytes, scan splits balance it)
+        extracted = extracted.unionByName(
+            extract_html_documents(html_pages, mode=html_mode))
 
     # the ONLY action that runs the UDF: text + nested spans in one write
-    (extract_documents(pages, cmap=cmap)
+    (extracted
      .withColumn("run_id", F.lit(run_id))
      .write.mode("append").parquet(text_path))
 

@@ -34,6 +34,9 @@ def main() -> None:
                         help="decode via /ToUnicode CMaps (extension; "
                              "default stays reference-byte-identical)")
     parser.add_argument("--no-dedup", action="store_true")
+    parser.add_argument("--html-mode", choices=["main", "strip"], default=None,
+                        help="also extract non-PDF HTML rows (boilerplate "
+                             "strip / main-content heuristics)")
     parser.add_argument("--local-cores", default=None,
                         help="run on local[N] (sandbox); omit on a cluster")
     args = parser.parse_args()
@@ -55,7 +58,8 @@ def main() -> None:
                         checkpoint_dir=args.checkpoint,
                         dedup_snapshots=not args.no_dedup,
                         write_spans=not args.no_spans,
-                        cmap=args.cmap)
+                        cmap=args.cmap,
+                        html_mode=args.html_mode)
     print(info)
     spark.stop()
 

@@ -139,3 +139,54 @@ def test_torn_batch_heals(spark, corpus_path, tmp_path):
     assert info3["n_healed"] == 0 and info3["n_docs"] == 0
     assert spark.read.parquet(
         os.path.join(out, "documents_spans")).count() == n_spans_expected
+
+
+def test_html_mode_extracts_main_content(spark, corpus_path, tmp_path):
+    """html_mode routes non-PDF HTML rows through the JVM boilerplate
+    strip; the corpus's html rows carry golden main content (nav/footer
+    link farms and script/style must vanish)."""
+    out = str(tmp_path / "out")
+    info = run_pipeline(spark, corpus_path, out, html_mode="main")
+    got = _read_text(spark, out)
+    expected = {e["url"]: e for e in expected_rows(N_DOCS)}
+    html_urls = {u for u, e in expected.items() if e["kind"] == "html"}
+    assert html_urls, "corpus should contain html rows"
+    assert html_urls <= set(got)
+    for url in html_urls:
+        row = got[url]
+        assert row["error"] is None
+        assert row["text"] == expected[url]["expected_text"], url
+        assert row["n_pages"] == 0 and row["n_spans"] == 0
+    # PDF rows still extract byte-identically alongside
+    pdf_urls = {u for u, e in expected.items() if e["kind"] == "pdf"}
+    for url in pdf_urls:
+        assert got[url]["text"] == expected[url]["expected_text"], url
+    assert info["n_docs"] == len(got)
+
+
+def test_html_mode_contains_malformed_bytes(spark, tmp_path):
+    """A poisoned crawl row (invalid UTF-8 inside an <html> prefix) must
+    not kill the job - Spark 4's decode('UTF-8') throws; the lenient
+    binary->string cast must be used instead."""
+    import datetime
+
+    rows = [
+        ("h://garbage", datetime.datetime(2025, 1, 1),
+         bytearray(b"<html>\xff\xfe\x80 broken bytes but plenty of plain"
+                   b" text content to keep</p>"), None, None),
+        ("h://truncated", datetime.datetime(2025, 1, 1),
+         bytearray(b"<!DOCTYPE html><body><p>a paragraph long enough to"
+                   b" keep in the output"), None, None),
+        ("h://not-html", datetime.datetime(2025, 1, 1),
+         bytearray(b"\x00\x01binary junk"), None, None),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string,"
+              " lang string").write.parquet(src)
+    out = str(tmp_path / "out")
+    info = run_pipeline(spark, src, out, html_mode="main")
+    got = _read_text(spark, out)
+    assert info["n_docs"] == 2            # binary junk not routed
+    assert "plain text content" in got["h://garbage"]["text"]
+    assert got["h://truncated"]["text"].startswith("a paragraph")
