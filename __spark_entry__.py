@@ -449,8 +449,12 @@ _SH_SQL = """
 
 
 def _mh_sql(i: int) -> str:
+    """Mirror of dedup's universal-hash family: one md5 base per
+    shingle, affine (A_i*b + B_i) % M per family."""
+    a, b, m = dd._MH_A[i], dd._MH_B[i], dd.MH_MOD
+    base = f"(('0x' || substr(md5('0|' || s), 1, 15))::BIGINT % {m})"
     return (f"coalesce(list_min(list_transform(sh, s -> "
-            f"('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT)), -1)")
+            f"({base} * {a} + {b}) % {m})), -1)")
 
 
 def q_dedup_minhash_sig(spark, sf_dir):

@@ -44,11 +44,23 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_dups") > 1))
 
 
-def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> list[Column]:
-    """K independent min-hashes over the shingle set.
+# universal-hash family over one md5 base hash: h_i(s) = (A_i*b + B_i) % M
+# with b = md5_long(s) % M.  One md5 per shingle instead of one per
+# (shingle, family) - 4x less hashing on the LSH query; the affine family
+# is the textbook pairwise-independent construction.  M = 2^31 - 1
+# (prime): A_i*b + B_i < 2^62, safe under ANSI overflow checking, and
+# exactly mirrorable in DuckDB integer arithmetic.
+MH_MOD = (1 << 31) - 1
+_MH_A = [1299721, 7368787, 15485863, 32452843,
+         49979687, 67867967, 86028121, 104395301]
+_MH_B = [15487469, 32452867, 49979693, 67867979,
+         86028157, 104395303, 122949829, 141650939]
 
-    Hash i of shingle s = md5_long(f"{i}|" + s); empty shingle sets get
-    sentinel -1 (never collides with a real hash, which is >= 0).
+
+def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> list[Column]:
+    """K min-hashes over the shingle set (universal family, see above);
+    empty shingle sets get sentinel -1 (never collides with a real hash,
+    which is >= 0).
 
     NB Catalyst does not common-subexpression-eliminate the shingle
     array across the K projection columns - each mh{i} would re-split
@@ -56,26 +68,34 @@ def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> list[Colum
     materialize the shingles once (see ``minhash_signature_df``).
     """
     sh = shingles(text, k)
-    return [_mh_min(sh, i) for i in range(n_hashes)]
+    base = F.transform(sh, lambda s: F.pmod(_mh(s, 0), F.lit(MH_MOD)))
+    return [_mh_min(base, i) for i in range(n_hashes)]
 
 
-def _mh_min(sh: Column, i: int) -> Column:
-    hashed = F.transform(sh, _mh_fn(i))
+def _mh_min(base: Column, i: int) -> Column:
+    a, b = _MH_A[i], _MH_B[i]
+    hashed = F.transform(
+        base,
+        lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MH_MOD)))
     return F.coalesce(F.array_min(hashed), F.lit(-1)).alias(f"mh{i}")
 
 
 def minhash_signature_df(df: DataFrame, text_col: str, id_col: str,
                          n_hashes: int, k: int) -> DataFrame:
-    """(id, mh0..mhK) with the shingle array computed ONCE per row.
+    """(id, mh0..mhK) with the shingle+md5 work computed ONCE per row.
 
     The two-step projection forces a materialization boundary so the
-    split/slice work is shared by all K hash columns instead of being
-    re-evaluated K times (measured ~3x on the LSH headline query).
+    split/slice/md5 work is shared by all K hash columns instead of
+    being re-evaluated K times (measured ~3x on the LSH headline query
+    from the shingles alone; sharing the md5 base hash removes the
+    remaining per-family hashing too).
     """
-    shingled = df.select(F.col(id_col).alias("id"),
-                         shingles(F.col(text_col), k).alias("_sh"))
-    return shingled.select(
-        "id", *[_mh_min(F.col("_sh"), i) for i in range(n_hashes)])
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), k),
+                    lambda s: F.pmod(_mh(s, 0), F.lit(MH_MOD))).alias("_hb"))
+    return hashed.select(
+        "id", *[_mh_min(F.col("_hb"), i) for i in range(n_hashes)])
 
 
 def _mh_fn(i: int):
@@ -182,8 +202,15 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError("bands must exceed max_hamming for full recall")
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
-    sigs = df.select(F.col(id_col).alias("id"),
-                     simhash64(F.col(text_col), k).alias("sig"))
+    # repartition is a materialization barrier: without it Catalyst
+    # inlines the 60-bit vote expression into the explode projection and
+    # both self-join sides, recomputing it up to 8x (measured 27s -> 12s
+    # at sf0.1).  The shuffled payload is just (id, sig) - narrow.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                          "200"))
+    sigs = (df.select(F.col(id_col).alias("id"),
+                      simhash64(F.col(text_col), k).alias("sig"))
+            .repartition(n_part, "id"))
     chunks = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftright(F.col("sig"), b * width)
