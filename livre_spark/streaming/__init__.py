@@ -25,6 +25,58 @@ from ..operators.skew import size_bucketed_repartition
 from ..sources import PAGES_SCHEMA
 
 
+def dedup_first_seen(pages_stream: DataFrame, url_col: str = "url",
+                     ts_col: str = "warc_ts") -> DataFrame:
+    """Custom stateful streaming operator: cross-micro-batch first-seen
+    url dedup via ``applyInPandasWithState`` (B20+).
+
+    Emits one row per url in the micro-batch where it FIRST appears
+    (with that batch's earliest snapshot ts and count); later snapshots
+    of the same url only bump the per-key state counter.  This is the
+    streaming complement of the batch ``latest_per_url`` window: a crawl
+    frontier dedup that needs memory of every url seen so far - exactly
+    what the state store (RocksDB per key at scale) provides and a
+    stateless watermark aggregation cannot.
+
+    State per key: a single snapshot counter - bounded by key
+    cardinality, not by stream length.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType([
+        StructField(url_col, StringType()),
+        StructField("first_ts", TimestampType()),
+        StructField("n_snapshots", LongType()),
+    ])
+    state_schema = StructType([StructField("n_seen", LongType())])
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        n = 0
+        first_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            m = pdf[ts_col].min()
+            first_ts = m if first_ts is None else min(first_ts, m)
+        if state.exists:
+            (prev,) = state.get
+            state.update((prev + n,))
+        else:
+            state.update((n,))
+            yield pd.DataFrame({url_col: [key[0]],
+                                "first_ts": [first_ts],
+                                "n_snapshots": [n]})
+
+    return (pages_stream.groupBy(url_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def stream_pages(spark: SparkSession, source_dir: str,
                  max_files_per_trigger: int = 16) -> DataFrame:
     """readStream over a parquet drop-directory of crawl pages."""

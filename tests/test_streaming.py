@@ -30,3 +30,46 @@ def test_stream_extracts(spark, tmp_path):
     q2.awaitTermination(timeout=180)
     n = spark.read.parquet(os.path.join(out, "documents_text")).count()
     assert n == len(got)
+
+
+def test_dedup_first_seen_stateful(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: a url recurring in a
+    later micro-batch is emitted only once, with the first batch's ts."""
+    import datetime
+
+    from livre_spark.sources import PAGES_SCHEMA
+    from livre_spark.streaming import dedup_first_seen
+
+    src = str(tmp_path / "drop")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            [(u, datetime.datetime(2026, 1, 1) + datetime.timedelta(hours=h),
+              bytearray(b"%PDF-x"), "", "en") for u, h in rows],
+            PAGES_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name))
+        import shutil
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(str(tmp_path / name), f),
+                            os.path.join(src, name + ".parquet"))
+
+    write_batch("b1", [("u1", 0), ("u2", 1)])
+    write_batch("b2", [("u1", 2), ("u3", 3)])   # u1 recurs
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (dedup_first_seen(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("first_seen")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout=180)
+
+    rows = {r["url"]: r for r in spark.sql(
+        "SELECT * FROM first_seen").collect()}
+    assert set(rows) == {"u1", "u2", "u3"}
+    for u in rows:
+        assert rows[u]["n_snapshots"] == 1  # emitted on first sighting
