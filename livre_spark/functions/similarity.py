@@ -179,6 +179,43 @@ def topk_cosine_ivf(embeddings: DataFrame, query_vec: list[float],
             .limit(k))
 
 
+def ivf_build_index(embeddings: DataFrame, centroids: list[list[float]],
+                    path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF index: the table written once, PARTITIONED BY
+    the coarse cell.  This is the 100 TB search path: a query then reads
+    only its probed cells' files (partition pruning at the source), not
+    the whole table - the one-time build cost buys every query a
+    1/n_cells * n_probe scan.
+    """
+    (embeddings
+     .withColumn("cell", ivf_cell(F.col(vec_col), centroids))
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def topk_cosine_ivf_indexed(spark, path: str, query_vec: list[float],
+                            centroids: list[list[float]], k: int = 10,
+                            n_probe: int = 2, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Search a materialized IVF index: ``cell IN probed`` is a partition
+    filter, so the scan touches only the probed cells' files.  Results
+    are identical to :func:`topk_cosine_ivf` over the same centroids."""
+    dists = []
+    for c in centroids:
+        d = 0.0
+        for x, y in zip(query_vec, c):
+            d += (float(x) - float(y)) * (float(x) - float(y))
+        dists.append(d)
+    probed = sorted(range(len(centroids)), key=lambda i: dists[i])[:n_probe]
+    q = _query_literal(query_vec)
+    return (spark.read.parquet(path)
+            .filter(F.col("cell").isin(probed))
+            .select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(k))
+
+
 def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
                               threshold: float = 0.95, bands: int = 4,
                               planes_per_band: int = 2, seed: int = 42,

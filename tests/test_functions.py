@@ -196,3 +196,30 @@ def test_cosine_near_dup_pairs_lsh_recall(spark, embeddings):
              sim.cosine_near_dup_pairs(embeddings, threshold=0.95).collect()}
     assert lsh <= exact               # bucketing never invents pairs
     assert (0, 1) in lsh              # the near-identical pair is found
+
+
+def test_ivf_indexed_search_partition_pruned(spark, tmp_path):
+    """The materialized IVF index search reads ONLY the probed cells'
+    partitions (PartitionFilters in the scan) and returns the same top-k
+    as the unindexed cell-pruned search."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    cents = sim.ivf_centroids(emb, n_cells=4, iters=0)
+    qv = [float(x) for x in rows[0][1]]
+
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_build_index(emb, cents, path)
+    indexed = sim.topk_cosine_ivf_indexed(spark, path, qv, cents, k=5)
+    plain = sim.topk_cosine_ivf(emb, qv, cents, k=5)
+    assert [r["vec_id"] for r in indexed.collect()] == \
+           [r["vec_id"] for r in plain.collect()]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), m.group(0) if m else plan
