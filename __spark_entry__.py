@@ -414,6 +414,38 @@ def q_fingerprint(spark, sf_dir):
 SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer token count (LLM-budget proxy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       ts.bpe_token_count(F.col("text")).alias("n_bpe"))
+
+
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{ts.BPE_PATTERN}')) AS BIGINT)
+           AS n_bpe
+FROM documents
+"""
+
+
+def q_fingerprint_rolling(spark, sf_dir):
+    """Rabin-Karp polynomial rolling hash over document characters."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       ts.rolling_fingerprint(F.col("text")).alias("rfp"))
+
+
+SQL_FINGERPRINT_ROLLING = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT)),
+         (acc, c) -> (acc * {ts.ROLL_BASE} + c) % {ts.ROLL_MOD}) AS rfp
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -881,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_guess": q_lang_guess,
         "fingerprint": q_fingerprint,
+        "bpe_token_count": q_bpe_token_count,
+        "fingerprint_rolling": q_fingerprint_rolling,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -918,6 +952,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": SQL_QUALITY_SCORE,
         "lang_guess": SQL_LANG_GUESS,
         "fingerprint": SQL_FINGERPRINT,
+        "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+        "fingerprint_rolling": SQL_FINGERPRINT_ROLLING,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,

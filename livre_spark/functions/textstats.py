@@ -78,6 +78,38 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 style, reduced to the Java/RE2
+# common subset: no lookahead): optional leading space + letter run /
+# digit run / punct run, else whitespace run
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex - a closer
+    proxy for LLM token budgets than whitespace splitting (digits and
+    punctuation tokenize separately).  DuckDB twin:
+    ``len(regexp_extract_all(text, BPE_PATTERN))``."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN)).cast("long")
+
+
+ROLL_BASE = 131
+ROLL_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) over the document's
+    characters: h = fold((acc * B + codepoint) % M).  Unlike md5 this is
+    incrementally updatable over windows - the primitive under winnowing
+    /shingle fingerprint schemes.  Integer-only (B*acc < 2^39, safe under
+    ANSI overflow checks); DuckDB twin via list_reduce over
+    ``string_split(text, '')`` codepoints."""
+    return F.aggregate(
+        F.split(text, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(ROLL_BASE) + F.ascii(ch),
+                               F.lit(ROLL_MOD)))
+
+
 def md5_long(col: Column, salt: str = "") -> Column:
     """First 15 hex digits of md5 as a non-negative bigint.
 
