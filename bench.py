@@ -196,9 +196,9 @@ def hardware_speedup(cores_n: int, cores_4n: int, seconds: float = 2.5) -> float
     that many CPUs, mirroring the pinned extraction runs.  On an idle
     host this is ~4.0; it degrades when the VM host steals cycles.
     NB: a register-resident burn loop overstates the ceiling for a
-    memory-bound workload - ``kernel_speedup`` below is the
-    workload-representative ceiling; this one is kept as a host-steal
-    indicator.
+    memory-bound workload - ``kernel_pool_rate`` below (emitted as
+    ``kernel_pool_speedup``) is the workload-representative ceiling;
+    this one is kept as a host-steal indicator.
     """
     import multiprocessing as mp
 

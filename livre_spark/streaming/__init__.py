@@ -4,9 +4,9 @@ The reference has no streaming (a single document in memory); the input
 table is a static snapshot, so streaming is optional - micro-batch resume
 (checkpoint anti-join, operators/checkpoint.py) covers incremental crawls.
 This wrapper exists for continuously-landing crawl data: ``readStream``
-over the pages directory -> ``foreachBatch`` reusing the exact same batch
-pipeline (same kernels, same skew handling), with a watermark on
-``warc_ts`` for late snapshots.
+over the pages directory -> stateful first-seen url dedup -> ``foreachBatch``
+reusing the exact same batch pipeline (same kernels, same skew handling),
+with a watermark on ``warc_ts`` for late snapshots.
 
 Design note for scale: ``foreachBatch`` (not ``writeStream`` operators)
 because the extraction stage needs the skew repartition + multi-sink
@@ -26,17 +26,27 @@ from ..sources import PAGES_SCHEMA
 
 
 def dedup_first_seen(pages_stream: DataFrame, url_col: str = "url",
-                     ts_col: str = "warc_ts") -> DataFrame:
+                     ts_col: str = "warc_ts",
+                     payload_cols: list[str] | None = None) -> DataFrame:
     """Custom stateful streaming operator: cross-micro-batch first-seen
     url dedup via ``applyInPandasWithState`` (B20+).
 
     Emits one row per url in the micro-batch where it FIRST appears
     (with that batch's earliest snapshot ts and count); later snapshots
     of the same url only bump the per-key state counter.  This is the
-    streaming complement of the batch ``latest_per_url`` window: a crawl
-    frontier dedup that needs memory of every url seen so far - exactly
-    what the state store (RocksDB per key at scale) provides and a
-    stateless watermark aggregation cannot.
+    streaming complement of the batch ``latest_per_url``+manifest resume:
+    across runs the first completed extraction of a url wins there too,
+    so first-seen streaming reproduces the multi-run batch semantics.
+    A crawl frontier dedup needs memory of every url seen so far -
+    exactly what the state store (RocksDB per key at scale) provides and
+    a stateless watermark aggregation cannot.
+
+    ``payload_cols``: extra columns to carry through on the emitted row
+    (e.g. ``["html", "text", "lang"]`` so extraction can run downstream).
+    Within the first micro-batch the LATEST-ts snapshot's payload is kept,
+    matching the batch pipeline's within-run ``latest_per_url`` choice.
+    Scale note: the groupBy shuffles the payload bytes once - the same
+    single url-keyed shuffle the batch dedup window pays.
 
     State per key: a single snapshot counter - bounded by key
     cardinality, not by stream length.
@@ -46,11 +56,13 @@ def dedup_first_seen(pages_stream: DataFrame, url_col: str = "url",
         LongType, StringType, StructField, StructType, TimestampType,
     )
 
-    out_schema = StructType([
-        StructField(url_col, StringType()),
-        StructField("first_ts", TimestampType()),
-        StructField("n_snapshots", LongType()),
-    ])
+    payload_cols = payload_cols or []
+    in_fields = {f.name: f for f in pages_stream.schema.fields}
+    out_schema = StructType(
+        [StructField(url_col, StringType()),
+         StructField("first_ts", TimestampType()),
+         StructField("n_snapshots", LongType())]
+        + [in_fields[c] for c in payload_cols])
     state_schema = StructType([StructField("n_seen", LongType())])
 
     def fn(key, pdfs, state):
@@ -58,18 +70,32 @@ def dedup_first_seen(pages_stream: DataFrame, url_col: str = "url",
 
         n = 0
         first_ts = None
+        best_ts = None       # latest ts within this batch
+        best_payload = None  # its payload row
         for pdf in pdfs:
+            if not len(pdf):  # empty chunk: min() would be NaT
+                continue
             n += len(pdf)
             m = pdf[ts_col].min()
             first_ts = m if first_ts is None else min(first_ts, m)
+            if payload_cols:
+                i = pdf[ts_col].idxmax()
+                mx = pdf[ts_col].loc[i]
+                if best_ts is None or mx > best_ts:
+                    best_ts = mx
+                    best_payload = {c: pdf[c].loc[i] for c in payload_cols}
+        if n == 0:
+            return
         if state.exists:
             (prev,) = state.get
             state.update((prev + n,))
         else:
             state.update((n,))
-            yield pd.DataFrame({url_col: [key[0]],
-                                "first_ts": [first_ts],
-                                "n_snapshots": [n]})
+            row = {url_col: [key[0]], "first_ts": [first_ts],
+                   "n_snapshots": [n]}
+            for c in payload_cols:
+                row[c] = [best_payload[c]]
+            yield pd.DataFrame(row)
 
     return (pages_stream.groupBy(url_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
@@ -89,8 +115,18 @@ def stream_pages(spark: SparkSession, source_dir: str,
 
 def start_extraction_stream(spark: SparkSession, source_dir: str,
                             output_dir: str, checkpoint_dir: str,
-                            trigger_once: bool = True):
-    """Continuous extraction: each micro-batch runs the batch pipeline."""
+                            trigger_once: bool = True,
+                            first_seen: bool = True,
+                            max_files_per_trigger: int = 16):
+    """Continuous extraction: each micro-batch runs the batch pipeline.
+
+    ``first_seen=True`` (default) puts the stateful first-seen url dedup
+    BEFORE extraction, so a url recurring across micro-batches is
+    extracted exactly once even within a single run - semantically equal
+    to the batch ``latest_per_url``+manifest path.  The manifest anti-join
+    stays as the replay/restart guard (state checkpoint and manifest
+    commit independently).
+    """
     import os
 
     from ..plans.job import heal_torn
@@ -109,17 +145,30 @@ def start_extraction_stream(spark: SparkSession, source_dir: str,
         pages = pdf_magic_filter(batch_df)
         pages = filter_done(pages, checkpoint_dir)
         pages = size_bucketed_repartition(pages)
-        # single action through the UDF; the manifest derives from the
-        # written table (column-pruned read-back), not a persist()
+        # single action through the UDF; documents_text is partitioned by
+        # run_id ("batch-N" - never numeric, so partition-column type
+        # inference always yields string) so the manifest read-back below
+        # touches ONLY this batch's files - O(batch), not O(table)
         (extract_documents(pages)
          .withColumn("run_id", F.lit(run_id))
-         .write.mode("append").parquet(text_path))
-        written = (spark.read.parquet(text_path)
-                   .filter(F.col("run_id") == run_id))
+         .write.mode("append").partitionBy("run_id").parquet(text_path))
+        part_dir = os.path.join(text_path, f"run_id={run_id}")
+        if not os.path.isdir(part_dir):  # empty batch wrote no partition
+            return
+        written = (spark.read.option("basePath", text_path)
+                   .parquet(part_dir))
         append_manifest(written, checkpoint_dir)
 
-    writer = (stream_pages(spark, source_dir)
+    stream = stream_pages(spark, source_dir,
+                          max_files_per_trigger=max_files_per_trigger)
+    if first_seen:
+        payload = [c for c in stream.columns if c not in ("url", "warc_ts")]
+        stream = (dedup_first_seen(stream, payload_cols=payload)
+                  .withColumnRenamed("first_ts", "warc_ts")
+                  .drop("n_snapshots"))
+    writer = (stream
               .writeStream
+              .outputMode("append")
               .option("checkpointLocation",
                       f"{checkpoint_dir}/stream_checkpoint")
               .foreachBatch(process_batch))

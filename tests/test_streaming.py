@@ -32,6 +32,44 @@ def test_stream_extracts(spark, tmp_path):
     assert n == len(got)
 
 
+def _write_batch(spark, tmp_path, src, name, rows):
+    import datetime
+    import shutil
+
+    from livre_spark.sources import PAGES_SCHEMA
+
+    df = spark.createDataFrame(
+        [(u, datetime.datetime(2026, 1, 1) + datetime.timedelta(hours=h),
+          bytearray(b"%PDF-x"), "", "en") for u, h in rows],
+        PAGES_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+    for f in os.listdir(str(tmp_path / name)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(str(tmp_path / name), f),
+                        os.path.join(src, name + ".parquet"))
+
+
+def test_stream_first_seen_no_duplicates(spark, tmp_path):
+    """First-seen state dedup wired BEFORE extraction: urls recurring
+    across three micro-batches are extracted exactly once."""
+    src = str(tmp_path / "drop")
+    os.makedirs(src)
+    _write_batch(spark, tmp_path, src, "b1", [("u1", 0), ("u2", 1)])
+    _write_batch(spark, tmp_path, src, "b2", [("u1", 2), ("u3", 3)])
+    _write_batch(spark, tmp_path, src, "b3",
+                 [("u2", 4), ("u3", 5), ("u4", 6)])
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_extraction_stream(spark, src, out, ckpt, trigger_once=True,
+                                max_files_per_trigger=1)
+    q.awaitTermination(timeout=180)
+
+    urls = [r["url"] for r in spark.read.parquet(
+        os.path.join(out, "documents_text")).select("url").collect()]
+    assert sorted(urls) == ["u1", "u2", "u3", "u4"]  # no duplicates
+
+
 def test_dedup_first_seen_stateful(spark, tmp_path):
     """applyInPandasWithState first-seen dedup: a url recurring in a
     later micro-batch is emitted only once, with the first batch's ts."""
