@@ -17,6 +17,7 @@ import random
 import zlib
 
 from .content import fmt_f32
+from .filters import ascii85_encode, png_predict_encode, runlength_encode
 
 HEADER = b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n"
 
@@ -71,17 +72,27 @@ class PdfBuilder:
         self.objects[oid] = value
 
     def add_stream(self, extra_dict: bytes, content: bytes,
-                   flate: bool = False, ahx: bool = False) -> int:
+                   flate: bool = False, ahx: bool = False,
+                   a85: bool = False, rle: bool = False) -> int:
         if flate and ahx:
             # decode order ASCIIHex -> Flate, so encode Flate -> ASCIIHex
             content = _ahx(zlib.compress(content))
             extra_dict += b"/Filter[/ASCIIHexDecode/FlateDecode]"
+        elif flate and a85:
+            content = ascii85_encode(zlib.compress(content))
+            extra_dict += b"/Filter[/ASCII85Decode/FlateDecode]"
         elif flate:
             content = zlib.compress(content)
             extra_dict += b"/Filter/FlateDecode"
         elif ahx:
             content = _ahx(content)
             extra_dict += b"/Filter/ASCIIHexDecode"
+        elif a85:
+            content = ascii85_encode(content)
+            extra_dict += b"/Filter/ASCII85Decode"
+        elif rle:
+            content = runlength_encode(content)
+            extra_dict += b"/Filter/RunLengthDecode"
         d = b"<</Length " + str(len(content)).encode() + extra_dict + b">>"
         return self.add(d + b"stream\n" + content + b"\nendstream")
 
@@ -144,11 +155,16 @@ class PdfBuilder:
         return base + body + bytes(xref) + trailer + tail, xref_off
 
     def serialize_xref_stream(self, root: int,
-                              objstm_members: dict[int, int] | None = None) -> bytes:
+                              objstm_members: dict[int, int] | None = None,
+                              predictor: bool = False) -> bytes:
         """Cross-reference *stream* (trailer_block/stream.rs layout).
 
         ``objstm_members`` maps object-id -> (stream_id, index) packed ids
         that live inside an object stream (type-2 entries).
+
+        ``predictor=True`` emits the real-world-norm PNG-Up predictor
+        (``/DecodeParms<</Predictor 12/Columns 7>>``) over the 7-byte
+        records before deflate - what every modern writer produces.
         """
         objstm_members = objstm_members or {}
         xref_id = self.reserve()
@@ -170,10 +186,15 @@ class PdfBuilder:
                 records += bytes([1]) + offsets[oid].to_bytes(4, "big") + (0).to_bytes(2, "big")
             else:
                 records += bytes([0]) + (0).to_bytes(4, "big") + (0).to_bytes(2, "big")
-        payload = zlib.compress(bytes(records))
+        parms = b""
+        raw = bytes(records)
+        if predictor:
+            raw = png_predict_encode(raw, columns=7, filter_type=2)
+            parms = b"/DecodeParms<</Predictor 12/Columns 7>>"
+        payload = zlib.compress(raw)
         dict_bytes = (b"<</Type/XRef/W[1 4 2]/Size " + str(size).encode()
                       + b"/Root " + str(root).encode() + b" 0 R"
-                      + b"/Filter/FlateDecode"
+                      + b"/Filter/FlateDecode" + parms
                       + b"/Length " + str(len(payload)).encode() + b">>")
         xref_obj = (str(xref_id).encode() + b" 0 obj\n" + dict_bytes
                     + b"stream\n" + payload + b"\nendstream\nendobj\n")
@@ -206,8 +227,9 @@ def make_object_stream(builder: PdfBuilder, values: list[bytes],
 
 def build_pdf(page_contents: list[bytes | None], *,
               xref: str = "plain", flate: bool = False, ahx: bool = False,
+              a85: bool = False, rle: bool = False,
               nested_tree: bool = False, contents_array: bool = False,
-              use_objstm: bool = False) -> bytes:
+              use_objstm: bool = False, xref_predictor: bool = False) -> bytes:
     """Assemble a document whose pages carry the given content streams.
 
     ``None`` page content -> page without /Contents (empty page).
@@ -234,12 +256,15 @@ def build_pdf(page_contents: list[bytes | None], *,
                 # split only at a whitespace boundary to keep tokens whole
                 while half < len(content) and content[half] not in b" \n":
                     half += 1
-                c1 = b.add_stream(b"", content[:half], flate=flate, ahx=ahx)
-                c2 = b.add_stream(b"", content[half:], flate=flate, ahx=ahx)
+                c1 = b.add_stream(b"", content[:half], flate=flate, ahx=ahx,
+                                  a85=a85, rle=rle)
+                c2 = b.add_stream(b"", content[half:], flate=flate, ahx=ahx,
+                                  a85=a85, rle=rle)
                 contents_ref = (b"[" + str(c1).encode() + b" 0 R "
                                 + str(c2).encode() + b" 0 R]")
             else:
-                cid = b.add_stream(b"", content, flate=flate, ahx=ahx)
+                cid = b.add_stream(b"", content, flate=flate, ahx=ahx,
+                                   a85=a85, rle=rle)
                 contents_ref = str(cid).encode() + b" 0 R"
             page_dict = (b"<</Type /Page /Parent " + str(root_pages_id).encode()
                          + b" 0 R /Contents " + contents_ref + b">>")
@@ -289,9 +314,10 @@ def build_pdf(page_contents: list[bytes | None], *,
             sid, members = make_object_stream(
                 b2, [fix(cat_val), fix(pages_val)])
             assert sorted(members) == [new_cat, new_pages]
-            pdf, _ = b2.serialize_xref_stream(new_cat, objstm_members=members)
+            pdf, _ = b2.serialize_xref_stream(new_cat, objstm_members=members,
+                                              predictor=xref_predictor)
             return pdf
-        pdf, _ = b.serialize_xref_stream(catalog_id)
+        pdf, _ = b.serialize_xref_stream(catalog_id, predictor=xref_predictor)
         return pdf
     raise ValueError(f"unknown xref style {xref!r}")
 
@@ -397,6 +423,56 @@ def fixture_cases() -> list[dict]:
     case("ahx_flate_chain",
          build_pdf([_simple_content(lines)], flate=True, ahx=True),
          _expected_simple(lines), 1)
+
+    # beyond-reference extensions: ASCII85 / RunLength (filtering.rs:50
+    # rejects both, so no reference fixture can conflict)
+    case("a85_content",
+         build_pdf([_simple_content(lines)], a85=True),
+         _expected_simple(lines), 1)
+
+    case("a85_flate_chain",
+         build_pdf([_simple_content(lines)], flate=True, a85=True),
+         _expected_simple(lines), 1)
+
+    case("rle_content",
+         build_pdf([_simple_content(lines)], rle=True),
+         _expected_simple(lines), 1)
+
+    # the real-world norm: predictor-compressed xref stream
+    # (/DecodeParms<</Predictor 12/Columns 7>> over the 7-byte records)
+    case("predictor_xref_stream",
+         build_pdf([_simple_content(lines)], xref="stream",
+                   xref_predictor=True),
+         _expected_simple(lines), 1)
+
+    case("predictor_xref_objstm",
+         build_pdf([_simple_content(lines)], xref="stream", use_objstm=True,
+                   xref_predictor=True),
+         _expected_simple(lines), 1)
+
+    # PNG-Paeth-predicted flate CONTENT stream with explicit DecodeParms
+    pb = PdfBuilder()
+    pcat = pb.reserve()
+    ppgs = pb.reserve()
+    ppg = pb.reserve()
+    pcontent = _simple_content(lines)
+    cols = 16
+    pad = (-len(pcontent)) % cols
+    pcontent_padded = pcontent + b" " * pad  # trailing ws is token-neutral
+    ppayload = zlib.compress(
+        png_predict_encode(pcontent_padded, columns=cols, filter_type=4))
+    pcs = pb.add(b"<</Length " + str(len(ppayload)).encode()
+                 + b"/Filter/FlateDecode"
+                 + b"/DecodeParms<</Predictor 15/Columns "
+                 + str(cols).encode() + b">>>>"
+                 + b"stream\n" + ppayload + b"\nendstream")
+    pb.set(ppg, b"<</Type /Page /Parent " + str(ppgs).encode()
+           + b" 0 R /Contents " + str(pcs).encode() + b" 0 R>>")
+    pb.set(ppgs, b"<</Type /Pages /Kids [" + str(ppg).encode()
+           + b" 0 R] /Count 1 /MediaBox [0 0 612 792]>>")
+    pb.set(pcat, b"<</Type /Catalog /Pages " + str(ppgs).encode() + b" 0 R>>")
+    ppdf, _ = pb.serialize_plain(pcat)
+    case("predictor_content_stream", ppdf, _expected_simple(lines), 1)
 
     case("hybrid_xref_incremental",
          build_incremental_pdf(_simple_content(["page one"]),
@@ -607,8 +683,12 @@ def generate_row(i: int, seed: int = 42) -> dict:
     xref_style = "stream" if rng.random() < 0.3 else "plain"
     flate = rng.random() < 0.5
     ahx = rng.random() < 0.15  # crawl PDFs use ASCIIHexDecode occasionally
+    a85 = not ahx and rng.random() < 0.05
+    # modern writers predictor-compress xref streams - make it the norm
+    xref_pred = xref_style == "stream" and rng.random() < 0.7
     pdf = build_pdf([content for content, _ in rendered],
-                    xref=xref_style, flate=flate, ahx=ahx)
+                    xref=xref_style, flate=flate, ahx=ahx, a85=a85,
+                    xref_predictor=xref_pred)
     expected = "".join(exp for _, exp in rendered)
     if roll < 0.06:  # ~1% truncated/corrupt
         pdf = pdf[: max(16, len(pdf) * 2 // 3)]

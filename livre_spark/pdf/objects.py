@@ -550,6 +550,16 @@ def parse_stream_from_dict(buf: bytes, pos: int, raw: RawDict) -> tuple[bytes, i
         filters, _ = parse_filter_list(buf, span[0])
     else:
         filters = []
+    # /DecodeParms: dict-or-null, maybe-array aligned with the filter
+    # chain (PDF 32000-1 7.3.8.2).  Beyond-reference extension: the
+    # reference never reads it (stream.rs:29-30 pops only Filter+Length),
+    # but predictor-compressed xref streams are the real-world norm.
+    pspan = raw.pop(b"DecodeParms")
+    parms = None
+    if pspan is not None:
+        parms, _ = parse_maybe_array(
+            buf, pspan[0],
+            lambda b, p: parse_option(b, p, parse_dict_object))
     pos = lex.skip_ws(buf, pos)
     pos = lex.tag(buf, pos, b"stream")
     pos = lex.line_ending(buf, pos)
@@ -559,7 +569,7 @@ def parse_stream_from_dict(buf: bytes, pos: int, raw: RawDict) -> tuple[bytes, i
     pos += length
     pos = lex.skip_ws(buf, pos)
     pos = lex.tag(buf, pos, b"endstream")
-    return decode_chain(filters, content), pos
+    return decode_chain(filters, content, parms), pos
 
 
 def parse_stream(buf: bytes, pos: int) -> tuple[PdfStream, int]:

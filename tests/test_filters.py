@@ -1,0 +1,179 @@
+"""Beyond-reference filter extensions: ASCII85Decode, RunLengthDecode,
+FlateDecode PNG/TIFF predictors (/DecodeParms).
+
+The reference rejects all of these (filtering.rs:50-53) and no reference
+fixture uses them, so support cannot break byte-identity; these vectors
+pin the extension semantics (PDF 32000-1 7.4.2-7.4.5)."""
+
+import zlib
+
+import pytest
+
+from livre_spark.pdf.errors import ParseError
+from livre_spark.pdf.filters import (
+    apply_predictor, ascii85_decode, ascii85_encode, decode_chain,
+    png_predict_encode, runlength_decode, runlength_encode,
+)
+from livre_spark.pdf.objects import parse_stream
+
+
+# -- ASCII85 ---------------------------------------------------------------
+
+@pytest.mark.parametrize("raw, expected", [
+    (b"ARTY*~>", b"easy"),                      # full + partial group
+    (b"F*2M7+C\\bgGl~>", b"sure baby"),
+    (b"z~>", b"\x00\x00\x00\x00"),              # z shortcut
+    (b"zz~>", b"\x00" * 8),
+    (b"AR TY\n*~>junk-after-eod", b"easy"),     # ws skipped, EOD stops
+    (b"s8W-!~>", b"\xff\xff\xff\xff"),          # exactly 2^32-1
+    (b"", b""),
+    (b"~>", b""),
+])
+def test_ascii85_decode(raw, expected):
+    assert ascii85_decode(raw) == expected
+
+
+@pytest.mark.parametrize("payload", [
+    b"", b"a", b"ab", b"abc", b"abcd", b"abcde",
+    b"\x00\x00\x00\x00", b"\xff\xff\xff\xff", bytes(range(256)) * 3,
+])
+def test_ascii85_roundtrip(payload):
+    import base64
+    enc = ascii85_encode(payload)
+    assert ascii85_decode(enc) == payload
+    # stdlib oracle: same wire format (adobe framing)
+    assert base64.a85decode(enc, adobe=True) == payload
+    assert ascii85_decode(base64.a85encode(payload) + b"~>") == payload
+
+
+@pytest.mark.parametrize("raw", [
+    b"v~>",        # out-of-range char
+    b"a~>",        # 1-char final group
+    b"uuuuu~>",    # group value > 2^32-1
+    b"zaz~>",      # 'z' inside a group
+])
+def test_ascii85_errors(raw):
+    with pytest.raises(ParseError):
+        ascii85_decode(raw)
+
+
+# -- RunLength -------------------------------------------------------------
+
+@pytest.mark.parametrize("raw, expected", [
+    (b"\x02abc\x80", b"abc"),                 # literal run
+    (b"\xfeX\x80", b"XXX"),                   # 257-254=3 repeats
+    (b"\x00a\xffb\x80", b"a" + b"b" * 2),     # mixed
+    (b"\x80", b""),
+    (b"\x80trailing-ignored", b""),
+])
+def test_runlength_decode(raw, expected):
+    assert runlength_decode(raw) == expected
+
+
+@pytest.mark.parametrize("payload", [b"", b"x", b"hello world" * 40])
+def test_runlength_roundtrip(payload):
+    assert runlength_decode(runlength_encode(payload)) == payload
+
+
+@pytest.mark.parametrize("raw", [b"\x05ab", b"\xfe"])
+def test_runlength_truncated(raw):
+    with pytest.raises(ParseError):
+        runlength_decode(raw)
+
+
+# -- predictors ------------------------------------------------------------
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 4])
+@pytest.mark.parametrize("columns, colors, bpc", [
+    (7, 1, 8), (4, 3, 8), (16, 1, 8), (3, 2, 8),
+])
+def test_png_predictor_roundtrip(ft, columns, colors, bpc):
+    row_len = (colors * bpc * columns + 7) // 8
+    data = bytes((i * 37 + 11) & 0xFF for i in range(row_len * 5))
+    enc = png_predict_encode(data, columns=columns, colors=colors,
+                             bpc=bpc, filter_type=ft)
+    assert apply_predictor(enc, 10 + ft, colors=colors, bpc=bpc,
+                           columns=columns) == data
+
+
+def test_png_average_filter():
+    # hand vector: columns=2, rows encoded with Average (type 3)
+    # row1 raw [10, 20]: avg pred (0+0)/2=0 -> 10; (10+0)/2=5 -> 15
+    # row2 raw [30, 40]: (0+10)/2=5 -> 25; (30+20)/2=25 -> 15
+    enc = bytes([3, 10, 15, 3, 25, 15])
+    assert apply_predictor(enc, 12, columns=2) == bytes([10, 20, 30, 40])
+
+
+def test_tiff_predictor():
+    # horizontal differencing, colors=1: cumulative sums per row
+    data = bytes([1, 1, 1, 1]) + bytes([5, 250, 10, 0])
+    out = apply_predictor(data, 2, colors=1, bpc=8, columns=4)
+    assert out == bytes([1, 2, 3, 4]) + bytes([5, 255, 9, 9])
+
+
+@pytest.mark.parametrize("predictor", [3, 9])
+def test_unknown_predictor_rejected(predictor):
+    with pytest.raises(ParseError):
+        apply_predictor(b"\x00\x00", predictor, columns=1)
+
+
+def test_png_bad_filter_type_rejected():
+    with pytest.raises(ParseError):
+        apply_predictor(bytes([7, 1, 2]), 12, columns=2)
+
+
+def test_png_truncated_row_rejected():
+    with pytest.raises(ParseError):
+        apply_predictor(bytes([0, 1]), 12, columns=4)
+
+
+# -- DecodeParms through the stream parser ----------------------------------
+
+def _stream_bytes(payload: bytes, dict_extra: bytes) -> bytes:
+    return (b"<</Length " + str(len(payload)).encode() + dict_extra
+            + b">>stream\n" + payload + b"\nendstream")
+
+
+def test_stream_with_predictor_parms():
+    data = bytes(range(64))
+    payload = zlib.compress(png_predict_encode(data, columns=8,
+                                               filter_type=2))
+    raw = _stream_bytes(
+        payload,
+        b"/Filter/FlateDecode/DecodeParms<</Predictor 12/Columns 8>>")
+    stream, _ = parse_stream(raw, 0)
+    assert stream.content == data
+
+
+def test_stream_parms_array_aligned_with_chain():
+    data = bytes(range(48))
+    inner = zlib.compress(png_predict_encode(data, columns=12,
+                                             filter_type=1))
+    payload = inner.hex().encode().upper() + b">"
+    raw = _stream_bytes(
+        payload,
+        b"/Filter[/ASCIIHexDecode/FlateDecode]"
+        b"/DecodeParms[null <</Predictor 11/Columns 12>>]")
+    stream, _ = parse_stream(raw, 0)
+    assert stream.content == data
+
+
+def test_stream_bad_parms_contained():
+    # indirect-ref Columns -> contained ParseError, not a crash
+    payload = zlib.compress(b"\x00abc")
+    raw = _stream_bytes(
+        payload,
+        b"/Filter/FlateDecode/DecodeParms<</Predictor 12/Columns 3 0 R>>")
+    with pytest.raises(ParseError):
+        parse_stream(raw, 0)
+
+
+def test_decode_chain_a85_flate():
+    data = b"the quick brown fox" * 9
+    enc = ascii85_encode(zlib.compress(data))
+    assert decode_chain([b"ASCII85Decode", b"FlateDecode"], enc) == data
+
+
+def test_decode_chain_runlength():
+    data = b"aaaabbbbccccd" * 11
+    assert decode_chain([b"RunLengthDecode"], runlength_encode(data)) == data
