@@ -1,16 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The Spark-side machinery is real and tested - schema, Arrow batching,
-partitioning, UDF signatures.  The media *decode* itself is stubbed: the
-image/audio libraries are not in this container, so ``decode_image``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic byte-histogram "feature vector" stands in.  Swapping the
-fake for a real decoder (PIL / torchaudio / pyav) changes one function,
-none of the Spark plumbing.
+The Spark-side machinery - schema, Arrow batching, partitioning, UDF
+signatures - is format-agnostic.  ``decode_image`` really decodes
+**PNG** (8-bit gray/RGB/palette/alpha, multi-chunk IDAT, CRC-checked,
+all five row filters via the shared ``pdf.filters`` PNG unfilter),
+**PPM/PGM** (binary P6/P5) and **BMP** (24-bit uncompressed) in pure
+stdlib Python - no PIL/libvips in this container.  Other formats (JPEG
+etc. need a real codec) raise ``NotImplementedError``, contained into
+the ``error`` column like every other per-row failure.  ``fake=True``
+keeps the deterministic raw-byte-histogram path used by the DuckDB
+oracle twin (SQL can mirror byte histograms, not inflate).
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -20,6 +25,8 @@ from pyspark.sql.types import (
     ArrayType, FloatType, IntegerType, LongType, StringType, StructField,
     StructType,
 )
+
+from ..pdf.filters import apply_predictor
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -40,25 +47,180 @@ MEDIA_FEATURES_SCHEMA = StructType([
 ])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class ImageDecodeError(ValueError):
+    """Malformed image payload - contained into the error column."""
+
+
+def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python PNG: IHDR + PLTE + multi-chunk IDAT -> zlib inflate ->
+    PNG row unfilter (shared with pdf/filters.py predictors) -> samples.
+
+    8-bit depth, interlace 0; palette images are expanded to RGB so the
+    features see colors, not indices."""
+    if buf[:8] != _PNG_SIG:
+        raise ImageDecodeError("bad PNG signature")
+    pos = 8
+    width = height = None
+    color_type = depth = 0
+    palette = b""
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(buf):
+            raise ImageDecodeError("truncated chunk")
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) != crc:
+            raise ImageDecodeError(f"bad CRC in {ctype!r}")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise ImageDecodeError(f"PNG color type {color_type}")
+            if comp != 0 or filt != 0:
+                raise ImageDecodeError("bad IHDR compression/filter")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG")
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ImageDecodeError("missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ImageDecodeError(f"IDAT inflate: {exc}") from exc
+    ch = _PNG_CHANNELS[color_type]
+    try:
+        samples = apply_predictor(raw, 10, colors=ch, bpc=8, columns=width)
+    except Exception as exc:
+        raise ImageDecodeError(f"row unfilter: {exc}") from exc
+    if len(samples) != width * height * ch:
+        raise ImageDecodeError("pixel buffer size mismatch")
+    if color_type == 3:
+        if len(palette) < 3:
+            raise ImageDecodeError("palette image without PLTE")
+        pal = np.frombuffer(palette, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = np.frombuffer(samples, dtype=np.uint8)
+        if idx.max(initial=0) >= len(pal):
+            raise ImageDecodeError("palette index out of range")
+        samples = pal[idx].tobytes()
+    return width, height, samples
+
+
+def _decode_ppm(buf: bytes) -> tuple[int, int, bytes]:
+    """Binary PPM (P6) / PGM (P5), maxval <= 255, '#' comments."""
+    magic = buf[:2]
+    ch = 3 if magic == b"P6" else 1
+    fields: list[int] = []
+    i = 2
+    n = len(buf)
+    while len(fields) < 3 and i < n:
+        c = buf[i]
+        if c == 0x23:  # '#' comment to end of line
+            while i < n and buf[i] not in (0x0A, 0x0D):
+                i += 1
+        elif c in b" \t\r\n":
+            i += 1
+        elif 0x30 <= c <= 0x39:
+            j = i
+            while j < n and 0x30 <= buf[j] <= 0x39:
+                j += 1
+            fields.append(int(buf[i:j]))
+            i = j
+        else:
+            raise ImageDecodeError(f"bad PPM header byte 0x{c:02x}")
+    if len(fields) < 3:
+        raise ImageDecodeError("truncated PPM header")
+    width, height, maxval = fields
+    if not (0 < maxval < 256):
+        raise NotImplementedError(f"PPM maxval {maxval}")
+    i += 1  # exactly one whitespace byte after maxval
+    samples = buf[i : i + width * height * ch]
+    if len(samples) != width * height * ch:
+        raise ImageDecodeError("truncated PPM pixels")
+    return width, height, samples
+
+
+def _decode_bmp(buf: bytes) -> tuple[int, int, bytes]:
+    """24-bit uncompressed BITMAPINFOHEADER BMP (bottom-up or top-down)."""
+    if len(buf) < 54:
+        raise ImageDecodeError("truncated BMP header")
+    (pixel_off,) = struct.unpack_from("<I", buf, 10)
+    (hdr_size,) = struct.unpack_from("<I", buf, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP core header {hdr_size}")
+    width, height = struct.unpack_from("<ii", buf, 18)
+    (bpp,) = struct.unpack_from("<H", buf, 28)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ImageDecodeError("bad BMP dimensions")
+    row_len = width * 3
+    stride = row_len + ((-row_len) % 4)
+    if pixel_off + stride * height > len(buf):
+        raise ImageDecodeError("truncated BMP pixels")
+    out = bytearray()
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    for r in rows:
+        row = buf[pixel_off + r * stride : pixel_off + r * stride + row_len]
+        bgr = np.frombuffer(row, dtype=np.uint8).reshape(-1, 3)
+        out += bgr[:, ::-1].tobytes()  # BGR -> RGB
+    return width, height, bytes(out)
+
+
+def _pixel_features(samples: bytes) -> list[float]:
+    """16-bin high-nibble histogram over decoded sample bytes, normalized."""
+    hist = np.bincount(np.frombuffer(samples, dtype=np.uint8) >> 4,
+                       minlength=FEATURE_DIM).astype(np.float64)
+    total = hist.sum() or 1.0
+    return [float(x) for x in (hist / total).astype(np.float32)]
+
+
 def decode_image(buf: bytes, fake: bool = False):
     """Decode an image to (width, height, feature vector).
 
-    STUB: real decoding needs an image library not present in this
-    container.  ``fake=True`` produces a deterministic byte-histogram
-    feature - the Spark plumbing (batch shapes, schema, partitioning) is
-    identical either way.
+    Magic-byte dispatch: PNG / PPM-PGM / BMP decode for real (pure
+    stdlib); other formats raise ``NotImplementedError`` (JPEG et al.
+    need a codec library this container lacks).  ``fake=True`` keeps the
+    deterministic raw-byte-histogram path - the DuckDB-mirrorable oracle
+    contract - with dimensions derived from the payload length.
     """
-    if not fake:
+    if fake:
+        hist = np.bincount(np.frombuffer(buf, dtype=np.uint8) >> 4,
+                           minlength=FEATURE_DIM).astype(np.float64)
+        total = hist.sum() or 1.0
+        features = (hist / total).astype(np.float32)
+        # fake dimensions derived deterministically from the payload
+        width = int(len(buf) % 640) + 1
+        height = int((len(buf) // 640) % 480) + 1
+        return width, height, [float(x) for x in features]
+    if buf[:8] == _PNG_SIG:
+        w, h, samples = _decode_png(buf)
+    elif buf[:2] in (b"P5", b"P6"):
+        w, h, samples = _decode_ppm(buf)
+    elif buf[:2] == b"BM":
+        w, h, samples = _decode_bmp(buf)
+    else:
         raise NotImplementedError(
-            "image decode requires PIL/libvips - not available in-sandbox")
-    hist = np.bincount(np.frombuffer(buf, dtype=np.uint8) >> 4,
-                       minlength=FEATURE_DIM).astype(np.float64)
-    total = hist.sum() or 1.0
-    features = (hist / total).astype(np.float32)
-    # fake dimensions derived deterministically from the payload
-    width = int(len(buf) % 640) + 1
-    height = int((len(buf) // 640) % 480) + 1
-    return width, height, [float(x) for x in features]
+            "unrecognized image format (PNG/PPM/PGM/BMP decode in pure "
+            "Python; JPEG etc. need a codec library not in this container)")
+    return w, h, _pixel_features(samples)
 
 
 def media_feature_batches(batches: Iterator[pd.DataFrame],
@@ -78,11 +240,11 @@ def media_feature_batches(batches: Iterator[pd.DataFrame],
                 out["height"].append(h)
                 out["features"].append(feats)
                 out["error"].append(None)
-            except NotImplementedError as exc:
-                out["width"].append(None)
+            except Exception as exc:  # containment: a poisoned payload
+                out["width"].append(None)  # must not kill the job
                 out["height"].append(None)
                 out["features"].append(None)
-                out["error"].append(str(exc))
+                out["error"].append(f"{type(exc).__name__}: {exc}")
         yield pd.DataFrame(out)
 
 

@@ -1,0 +1,111 @@
+"""Real (pure-Python) image decode goldens: PNG / PPM / BMP fixtures are
+written by livre_spark.functions.genimg with known pixels, so expected
+width/height/features derive by construction."""
+
+import numpy as np
+import pytest
+
+from livre_spark.functions.genimg import encode_bmp, encode_png, encode_ppm
+from livre_spark.functions.multimodal import (
+    FEATURE_DIM, ImageDecodeError, decode_image,
+)
+
+
+def _gradient(n: int) -> bytes:
+    return bytes((i * 17 + 3) & 0xFF for i in range(n))
+
+
+def _expected_features(samples: bytes) -> list[float]:
+    hist = np.bincount(np.frombuffer(samples, dtype=np.uint8) >> 4,
+                       minlength=FEATURE_DIM).astype(np.float64)
+    return [float(x) for x in (hist / hist.sum()).astype(np.float32)]
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 4])
+@pytest.mark.parametrize("color_type, ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_golden(color_type, ch, ft):
+    w, h = 5, 4
+    pixels = _gradient(w * h * ch)
+    buf = encode_png(w, h, pixels, color_type=color_type, filter_type=ft)
+    gw, gh, feats = decode_image(buf)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(pixels)
+
+
+def test_png_palette_expands_to_rgb():
+    w, h = 4, 2
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B
+    idx = bytes([0, 1, 2, 0, 1, 2, 0, 1])
+    buf = encode_png(w, h, idx, color_type=3, palette=palette)
+    gw, gh, feats = decode_image(buf)
+    assert (gw, gh) == (w, h)
+    rgb = b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
+    assert feats == _expected_features(rgb)
+
+
+def test_png_corruption_contained():
+    buf = bytearray(encode_png(3, 3, _gradient(27)))
+    buf[30] ^= 0xFF  # flip a byte inside IHDR/IDAT -> CRC mismatch
+    with pytest.raises(ImageDecodeError):
+        decode_image(bytes(buf))
+    with pytest.raises(ImageDecodeError):
+        decode_image(encode_png(3, 3, _gradient(27))[:40])  # truncated
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg soi")  # JPEG needs a codec
+
+
+@pytest.mark.parametrize("gray", [False, True])
+def test_ppm_golden(gray):
+    w, h = 6, 3
+    ch = 1 if gray else 3
+    pixels = _gradient(w * h * ch)
+    gw, gh, feats = decode_image(encode_ppm(w, h, pixels, gray=gray))
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(pixels)
+
+
+def test_ppm_truncated():
+    w, h = 6, 3
+    buf = encode_ppm(w, h, _gradient(w * h * 3))
+    with pytest.raises(ImageDecodeError):
+        decode_image(buf[:-5])
+
+
+def test_bmp_golden():
+    w, h = 5, 3  # odd width exercises the 4-byte row padding
+    pixels = _gradient(w * h * 3)
+    gw, gh, feats = decode_image(encode_bmp(w, h, pixels))
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(pixels)
+
+
+def test_fake_path_unchanged():
+    # the oracle contract: raw-byte nibble histogram + length-derived dims
+    buf = b"\x00\x01" * 50
+    w, h, feats = decode_image(buf, fake=True)
+    assert (w, h) == (101, 1)
+    assert feats[0] == 1.0  # all bytes have high nibble 0
+
+
+def test_spark_real_decode(spark):
+    from livre_spark.functions.multimodal import extract_media_features
+
+    w, h = 4, 4
+    png_px = _gradient(w * h * 3)
+    ppm_px = _gradient(w * h * 3)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(w, h, png_px))),
+         (2, "image", bytearray(encode_ppm(w, h, ppm_px))),
+         (3, "image", bytearray(encode_bmp(w, h, png_px))),
+         (4, "image", bytearray(b"\xff\xd8\xffjpeg")),
+         (5, "image", bytearray(encode_png(w, h, png_px)[:30]))],
+        "media_id long, kind string, content binary")
+    got = {r["media_id"]: r for r in
+           extract_media_features(media, fake=False).collect()}
+    for mid, px in ((1, png_px), (2, ppm_px), (3, png_px)):
+        assert (got[mid]["width"], got[mid]["height"]) == (w, h)
+        assert got[mid]["features"] == _expected_features(px)
+        assert got[mid]["error"] is None
+    assert "NotImplementedError" in got[4]["error"]  # contained, row kept
+    assert got[5]["error"] is not None
+    assert got[5]["features"] is None
