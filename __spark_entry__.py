@@ -599,9 +599,15 @@ SELECT doc_id, simhash FROM sig
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """Hamming-near pairs via banded bit-chunk LSH + popcount filter."""
+    """Hamming-near pairs via banded bit-chunk LSH + popcount filter.
+
+    ``max_bucket=50`` ACTIVE: hot (band, chunk) buckets are excluded via
+    a broadcast anti-join before the self-join (the 100 TB bound - see
+    dedup.simhash_hamming_pairs recall statement); the oracle applies
+    the identical cap, so both engines drop the same deterministic set."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_hamming_pairs(docs, k=1, bands=4, max_hamming=3)
+    return dd.simhash_hamming_pairs(docs, k=1, bands=4, max_hamming=3,
+                                    max_bucket=50)
 
 
 SQL_DEDUP_SIMHASH_PAIRS = f"""
@@ -612,10 +618,16 @@ buckets AS (
          unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
                  (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS chunk
   FROM sig),
+hot AS (
+  SELECT band, chunk FROM buckets GROUP BY band, chunk HAVING count(*) > 50),
+bc AS (
+  SELECT b.* FROM buckets b LEFT JOIN hot h
+    ON b.band = h.band AND b.chunk = h.chunk
+  WHERE h.band IS NULL),
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b,
          l.simhash AS sig_a, r.simhash AS sig_b
-  FROM buckets l JOIN buckets r
+  FROM bc l JOIN bc r
     ON l.band = r.band AND l.chunk = r.chunk AND l.id < r.id)
 SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3

@@ -24,8 +24,16 @@ from .textstats import md5_long
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as an array column (JVM higher-order functions)."""
+    """Word k-shingles as an array column (JVM higher-order functions).
+
+    k=1 is the words array itself - value-identical to the general
+    construction (``split`` always yields >= 1 element, so the n<k guard
+    can't fire, and a 1-slice concat_ws is the element) but skips the
+    per-word ``slice``+``concat_ws``, which dominated the simhash
+    headline query (measured 5.2s -> 2.25s at sf0.1/8 cores)."""
     words = F.split(F.trim(F.lower(text)), r"\s+")
+    if k == 1:
+        return words
     n = F.size(words)
     return F.when(n < k, F.array()).otherwise(
         F.transform(
@@ -143,20 +151,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 SIMHASH_BITS = 60  # md5_long is 60 bits
 
 
-def _bit_votes(h: Column) -> Column:
-    """Per-shingle vote vector: +1 where bit j of h is set, else -1.
-
-    ``shiftright`` is invoked through ``call_function`` because the SQL
-    builtin accepts a column shift amount while the PySpark wrapper only
-    takes a Python int.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda j: F.when(
-            F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1)).otherwise(F.lit(-1)))
-
-
 def simhash64(text: Column, k: int = 1) -> Column:
     """60-bit SimHash over word shingles.
 
@@ -165,14 +159,23 @@ def simhash64(text: Column, k: int = 1) -> Column:
 
     One-pass fold: a single ``aggregate`` carries all 60 vote counters as
     an array accumulator (one scan of the hashed-shingle array per doc,
-    instead of 60 per-bit scans).
+    instead of 60 per-bit scans).  The per-bit vote is folded
+    arithmetically (``acc[j] + 2*bit - 1``) instead of materializing a
+    +-1 vote array per shingle - no intermediate 60-wide allocation and
+    no CASE branch inside the inner loop.  ``shiftright`` goes through
+    ``call_function`` because the SQL builtin accepts a column shift
+    amount while the PySpark wrapper only takes a Python int.
     """
     sh = shingles(text, k)
     hashed = F.transform(sh, lambda s: _mh(s, 0))
+    bit_index = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
     votes = F.aggregate(
         hashed,
         F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(acc, _bit_votes(h), lambda a, v: a + v))
+        lambda acc, h: F.zip_with(
+            acc, bit_index,
+            lambda a, j: a + F.call_function("shiftright", h, j)
+            .bitwiseAND(F.lit(1)).cast("int") * 2 - 1))
     powers = F.array(*[F.lit(1 << j).cast("long")
                        for j in range(SIMHASH_BITS)])
     return F.aggregate(
@@ -185,7 +188,8 @@ def simhash64(text: Column, k: int = 1) -> Column:
 
 def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 1,
-                          bands: int = 4, max_hamming: int = 3) -> DataFrame:
+                          bands: int = 4, max_hamming: int = 3,
+                          max_bucket: int | None = None) -> DataFrame:
     """Hamming-near pairs over the 60-bit SimHash - banded bit-chunk LSH.
 
     The signature is split into ``bands`` equal bit chunks; by pigeonhole,
@@ -195,8 +199,19 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     (``bit_count(sig_a XOR sig_b)``), all JVM-side.
 
     Scale shape: one explode (x bands) + one shuffle on (band, chunk);
-    never an all-pairs join.  Hot chunks (e.g. the all-zeros signature of
-    empty docs) are the residual skew risk, same as any LSH bucket join.
+    never an all-pairs join.
+
+    ``max_bucket``: drop (band, chunk) buckets holding more than
+    ``max_bucket`` ids before the self-join.  15-bit chunks give only
+    32768 buckets per band, so at 10^9 docs the MEAN bucket holds ~3*10^4
+    ids and the self-join materializes ~10^13 candidates without a bound;
+    the cap keeps the hottest bucket at max_bucket^2 pairs.  Recall
+    statement: a pair is missed only if EVERY chunk it agrees on is hot -
+    pairs with at least one non-hot agreeing chunk keep the pigeonhole
+    guarantee, so reported pairs are a deterministic subset (the same
+    lower-bound trade as ``ngram_jaccard_pairs``'s ``max_df``).  The hot
+    list (df > cap) is tiny, so the exclusion is a broadcast anti-join,
+    not a shuffle.
     """
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for full recall")
@@ -219,6 +234,13 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     buckets = (sigs.select("id", "sig", F.explode(chunks).alias("bb"))
                .select("id", "sig", F.col("bb.band").alias("band"),
                        F.col("bb.chunk").alias("chunk")))
+    if max_bucket is not None:
+        hot = (buckets.groupBy("band", "chunk")
+               .agg(F.count("*").alias("n_ids"))
+               .filter(F.col("n_ids") > max_bucket)
+               .select("band", "chunk"))
+        buckets = buckets.join(F.broadcast(hot), ["band", "chunk"],
+                               "left_anti")
     return (buckets.alias("l")
             .join(buckets.alias("r"),
                   [F.col("l.band") == F.col("r.band"),
