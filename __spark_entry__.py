@@ -806,6 +806,89 @@ LIMIT 10
 """
 
 
+def q_sim_topk_ivf_indexed(spark, sf_dir):
+    """The 100 TB ANN path: build the MATERIALIZED IVF index (table
+    written once, partitionBy(cell)), then search it - ``cell IN probed``
+    becomes a partition filter so the scan touches only the probed
+    cells' files.  Same seed centroids as sim_topk_ivf, so results (and
+    the oracle SQL) are identical; what this row additionally checks is
+    the parquet round-trip + partition-pruned read path."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = sim.ivf_centroids(emb, n_cells=4, iters=0)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"livre_ivf_index_{tag}")
+    sim.ivf_build_index(emb.filter(F.col("vec_id") != 0), centroids, path)
+    return sim.topk_cosine_ivf_indexed(spark, path, qv, centroids,
+                                       k=10, n_probe=2)
+
+
+# identical results by construction: same centroids, same probe rule,
+# exact float32 parquet round-trip
+SQL_SIM_TOPK_IVF_INDEXED = SQL_SIM_TOPK_IVF
+
+
+# k = 2 shingles for the text->embedding bridge - mechanically parallel
+# to dedup.shingles(text, 2)
+_SH2_SQL = """
+  SELECT doc_id,
+    CASE WHEN len(w) < 2 THEN []
+         ELSE list_transform(generate_series(0, len(w) - 2),
+                             i -> array_to_string(list_slice(w, i + 1, i + 2), ' '))
+    END AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)
+"""
+
+
+def q_sim_pipeline_e2e(spark, sf_dir):
+    """End-to-end text->vector->ANN composition: documents.text ->
+    hashing-trick TF embedding (similarity.embed_text, pure Column
+    expressions) -> cosine top-k against the lowest-doc_id document.
+
+    Integer TF counts make every f64 fold exact on both engines, so the
+    full pipeline is hash-stable.  The repartition is the usual
+    materialization barrier: without it CollapseProject re-inlines the
+    embedding fold into dot, norm and the zero-norm filter (3x work)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vecs = (docs.select("doc_id",
+                        sim.embed_text(F.col("text"), dim=16, k=2).alias("v"))
+            .repartition(n_part, "doc_id"))
+    min_id = docs.agg(F.min("doc_id")).first()[0]
+    qv = vecs.filter(F.col("doc_id") == min_id).first()["v"]
+    q = F.array(*[F.lit(int(x)) for x in qv])
+    return (vecs.filter(F.col("doc_id") != min_id)
+            .filter(sim.norm(F.col("v")) > 0)
+            .select("doc_id",
+                    F.round(sim.cosine(F.col("v"), q), 6).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), "doc_id")
+            .limit(10))
+
+
+SQL_SIM_PIPELINE_E2E = f"""
+WITH sh2 AS ({_SH2_SQL}),
+hs AS (SELECT doc_id, list_transform(sh, s ->
+         ('0x' || substr(md5('0|' || s), 1, 15))::BIGINT % 16) AS hs
+       FROM sh2),
+vecs AS (SELECT doc_id, list_transform(generate_series(0, 15), d ->
+         CAST(len(list_filter(hs, h -> h = d)) AS BIGINT)) AS v FROM hs),
+q AS (SELECT v FROM vecs
+      WHERE doc_id = (SELECT min(doc_id) FROM documents))
+SELECT e.doc_id, round({_cos_sql('e.v', 'q.v')}, 6) AS cos_sim
+FROM vecs e, q
+WHERE e.doc_id != (SELECT min(doc_id) FROM documents)
+  AND list_dot_product(e.v::DOUBLE[], e.v::DOUBLE[]) > 0
+ORDER BY cos_sim DESC, e.doc_id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary columns; decode stubbed - rows-only check)
 # ---------------------------------------------------------------------------
@@ -938,6 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_exact": q_sim_near_dup_exact,
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
+        "sim_topk_ivf_indexed": q_sim_topk_ivf_indexed,
+        "sim_pipeline_e2e": q_sim_pipeline_e2e,
         "multimodal_features": q_multimodal_features,
         "html_strip": q_html_strip,
         "html_main": q_html_main,
@@ -977,6 +1062,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_near_dup_exact": SQL_SIM_NEAR_DUP_EXACT,
         "sim_topk_lsh": _lsh_oracle_sql(),
         "sim_topk_ivf": SQL_SIM_TOPK_IVF,
+        "sim_topk_ivf_indexed": SQL_SIM_TOPK_IVF_INDEXED,
+        "sim_pipeline_e2e": SQL_SIM_PIPELINE_E2E,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         **_html_oracle_sql(),
     }

@@ -216,6 +216,29 @@ def topk_cosine_ivf_indexed(spark, path: str, query_vec: list[float],
             .limit(k))
 
 
+def embed_text(text: Column, dim: int = 16, k: int = 2) -> Column:
+    """Hashing-trick TF embedding: word k-shingles -> md5 bucket ->
+    integer term-frequency counts (``array<int>`` of length ``dim``).
+
+    Pure Column expressions - one ``aggregate`` fold with a dim-wide
+    accumulator, the same shape as the simhash vote fold.  Counts stay
+    integers so downstream cosine is a sequential f64 fold over exact
+    values - bit-stable against the DuckDB twin.  This is the bridge
+    from the text pipeline into the similarity family (crawl -> text ->
+    vector -> ANN) without an external embedding model.
+    """
+    from .dedup import _mh, shingles
+
+    hashed = F.transform(shingles(text, k),
+                         lambda s: F.pmod(_mh(s, 0), F.lit(dim)))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.aggregate(
+        hashed, F.array_repeat(F.lit(0), dim),
+        lambda acc, b: F.zip_with(
+            acc, idx,
+            lambda a, j: a + F.when(b == j.cast("long"), 1).otherwise(0)))
+
+
 def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
                               threshold: float = 0.95, bands: int = 4,
                               planes_per_band: int = 2, seed: int = 42,
