@@ -28,9 +28,10 @@ def corpus_rows(n_docs: int, seed: int = 42, duplicate_every: int = 40):
             # an OLDER snapshot with different (stale) bytes
             stale = generate_row(i + 10_000_000, seed)
             yield dict(url=row["url"], warc_ts=ts - datetime.timedelta(days=1),
-                       html=stale["html"], text="", lang=row["lang"])
+                       html=stale["html"], text="", lang=row["lang"],
+                       n_bytes=len(stale["html"]))
         yield dict(url=row["url"], warc_ts=ts, html=row["html"],
-                   text="", lang=row["lang"])
+                   text="", lang=row["lang"], n_bytes=len(row["html"]))
 
 
 def expected_rows(n_docs: int, seed: int = 42):
@@ -45,12 +46,16 @@ def write_corpus(path: str, n_docs: int, seed: int = 42,
                  duplicate_every: int = 40, rows_per_group: int = 2000) -> str:
     """Write the pages table; returns the path."""
     os.makedirs(path, exist_ok=True)
+    # n_bytes persisted at ingest: the size-bucket branch predicates then
+    # push into the scan as stats-pruned filters instead of measuring the
+    # binary column twice (operators/skew.py size_col rationale)
     schema = pa.schema([
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us", tz="UTC")),
         ("html", pa.binary()),
         ("text", pa.string()),
         ("lang", pa.string()),
+        ("n_bytes", pa.int64()),
     ])
     out = os.path.join(path, "part-00000.parquet")
     rows = list(corpus_rows(n_docs, seed, duplicate_every))

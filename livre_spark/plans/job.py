@@ -166,7 +166,11 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
         pages = latest_per_url(pages)
     pages = filter_done(pages, checkpoint_dir)
 
-    pdf_pages = size_bucketed_repartition(pdf_magic_filter(pages))
+    # a stored byte-length column turns the two size-branch predicates
+    # into stats-pruned pushed filters (no double scan of the binary)
+    size_col = "n_bytes" if "n_bytes" in pages.columns else None
+    pdf_pages = size_bucketed_repartition(pdf_magic_filter(pages),
+                                          size_col=size_col)
     extracted = extract_documents(pdf_pages, cmap=cmap)
     if html_mode is not None:
         from ..functions.htmltext import looks_like_html

@@ -144,7 +144,8 @@ def start_extraction_stream(spark: SparkSession, source_dir: str,
         text_path = os.path.join(output_dir, "documents_text")
         pages = pdf_magic_filter(batch_df)
         pages = filter_done(pages, checkpoint_dir)
-        pages = size_bucketed_repartition(pages)
+        size_col = "n_bytes" if "n_bytes" in pages.columns else None
+        pages = size_bucketed_repartition(pages, size_col=size_col)
         # single action through the UDF; documents_text is partitioned by
         # run_id ("batch-N" - never numeric, so partition-column type
         # inference always yields string) so the manifest read-back below

@@ -28,6 +28,25 @@ def test_routing_by_length(spark):
     assert set(out.columns) == {"url", "html"}
 
 
+def test_corpus_persists_n_bytes_and_pipeline_defaults_to_it(spark, tmp_path):
+    """write_corpus stores n_bytes at ingest; the pipeline's size-bucket
+    branch predicates then push into the scan (no double scan of html)."""
+    import re
+
+    from livre_spark.operators.extraction import pdf_magic_filter
+    from livre_spark.plans.corpus import write_corpus
+    from livre_spark.sources import read_pages
+
+    src = str(tmp_path / "pages")
+    write_corpus(src, 20, duplicate_every=0)
+    pages = read_pages(spark, src)
+    assert "n_bytes" in pages.columns
+    out = size_bucketed_repartition(pdf_magic_filter(pages),
+                                    size_col="n_bytes")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\n]*n_bytes", plan), plan[:2000]
+
+
 def test_size_col_predicate_pushes_down(spark, tmp_path):
     path = str(tmp_path / "pages")
     _pages(spark, with_size=True).write.parquet(path)
