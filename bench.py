@@ -53,13 +53,15 @@ def _gen_batches(batches):
     from livre_spark.pdf.genpdf import generate_row
 
     for batch in batches:
-        rows = {"url": [], "html": [], "text": [], "lang": []}
+        rows = {"url": [], "html": [], "text": [], "lang": [],
+                "n_bytes": []}
         for i in batch["id"]:
             row = generate_row(int(i), SEED)
             rows["url"].append(row["url"])
             rows["html"].append(row["html"])
             rows["text"].append("")
             rows["lang"].append(row["lang"])
+            rows["n_bytes"].append(len(row["html"]))
         yield pd.DataFrame(rows)
 
 
@@ -74,9 +76,10 @@ def ensure_corpus(spark, n_docs: int) -> str:
     shutil.rmtree(path, ignore_errors=True)
     (spark.range(n_docs).repartition(CPUS * 4)
      .mapInPandas(_gen_batches,
-                  schema="url string, html binary, text string, lang string")
+                  schema="url string, html binary, text string,"
+                         " lang string, n_bytes long")
      .withColumn("warc_ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
-     .select("url", "warc_ts", "html", "text", "lang")
+     .select("url", "warc_ts", "html", "text", "lang", "n_bytes")
      .write.mode("overwrite").parquet(path))
     return path
 
@@ -111,11 +114,13 @@ def _run_extraction_child(cores: int, corpus_path: str, queue) -> None:
         # warmup: same plan shape over a hash-picked ~2% slice (never
         # .limit() - it collapses to one partition)
         warm = pages.filter(F.pmod(F.xxhash64("url"), F.lit(50)) == 0)
-        (extract_documents(size_bucketed_repartition(warm))
+        (extract_documents(size_bucketed_repartition(warm,
+                                                     size_col="n_bytes"))
          .select("url", "n_pages", "error")
          .write.mode("overwrite").parquet(os.path.join(out, "warm")))
 
-        extracted = extract_documents(size_bucketed_repartition(pages))
+        extracted = extract_documents(
+            size_bucketed_repartition(pages, size_col="n_bytes"))
         t0 = time.perf_counter()
         (extracted.select("url", "text", "n_pages", "n_spans", "error")
          .write.mode("overwrite").parquet(os.path.join(out, "text")))

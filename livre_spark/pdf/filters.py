@@ -25,12 +25,13 @@ from .errors import CutError, ParseError
 
 SUPPORTED = frozenset({
     b"FlateDecode", b"ASCIIHexDecode", b"ASCII85Decode", b"RunLengthDecode",
+    b"LZWDecode",
 })
 
-# Explicitly unsupported filters fail hard (filtering.rs:50-53).
+# Explicitly unsupported filters fail hard (filtering.rs:50-53): the
+# remaining four are image codecs / encryption, not byte filters.
 UNSUPPORTED = frozenset({
-    b"LZWDecode", b"CCITTFaxDecode", b"JBIG2Decode", b"DCTDecode",
-    b"JPXDecode", b"Crypt",
+    b"CCITTFaxDecode", b"JBIG2Decode", b"DCTDecode", b"JPXDecode", b"Crypt",
 })
 
 _HEX = {c: i for i, c in enumerate(b"0123456789abcdef")}
@@ -176,6 +177,97 @@ def runlength_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode per PDF 32000-1 7.4.4 (TIFF-style LZW).
+
+    9..12-bit codes packed MSB-first; 256 = clear-table, 257 = EOD; the
+    code width grows when the table reaches ``2^width - early_change``
+    (``/EarlyChange 1`` is the spec default)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ParseError("LzwDecodeError", None, f"code {code}")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # libtiff-compatible early change: the decoder lags the
+            # encoder by one table entry, so it widens at 2^w - EC
+            # (511/1023/2047 for the default EarlyChange 1)
+            if len(table) >= (1 << width) - early_change and width < 12:
+                width += 1
+    # EOD is required by the spec; tolerate its absence at end-of-data
+    return bytes(out)
+
+
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """TIFF-style LZW encoder (for genpdf fixtures): leading clear-table,
+    dictionary growth and width changes mirroring the decoder."""
+    out = 0
+    out_bits = 0
+    buf = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal out, out_bits
+        out = (out << width) | code
+        out_bits += width
+        while out_bits >= 8:
+            buf.append((out >> (out_bits - 8)) & 0xFF)
+            out_bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # clear table
+    seq = b""
+    for i in range(len(data)):
+        cand = seq + data[i : i + 1]
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        # the decoder adds its matching entry only AFTER reading the
+        # next code, so the encoder widens one entry later than the
+        # decoder's 2^w - EC rule (at 2^w - EC + 1)
+        if next_code >= (1 << width) - early_change + 1 and width < 12:
+            width += 1
+        if next_code >= 4096 - early_change:  # table full: restart
+            emit(256, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            width = 9
+        seq = data[i : i + 1]
+    if seq:
+        emit(table[seq], width)
+    emit(257, width)  # EOD
+    if out_bits:
+        buf.append((out << (8 - out_bits)) & 0xFF)
+    return bytes(buf)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -296,6 +388,15 @@ def decode_chain(filters: list[bytes], content: bytes,
                 out = zlib.decompress(out)
             except zlib.error as exc:
                 raise ParseError("FlateDecodeError", None, str(exc)) from exc
+            if p:
+                out = apply_predictor(
+                    out, _int_parm(p, b"Predictor", 1),
+                    colors=_int_parm(p, b"Colors", 1),
+                    bpc=_int_parm(p, b"BitsPerComponent", 8),
+                    columns=_int_parm(p, b"Columns", 1))
+        elif name == b"LZWDecode":
+            out = lzw_decode(out, early_change=(
+                _int_parm(p, b"EarlyChange", 1) if p else 1))
             if p:
                 out = apply_predictor(
                     out, _int_parm(p, b"Predictor", 1),

