@@ -170,6 +170,17 @@ class Document:
         self.buf = buf
         self.xrefs, root_ref, self.trailer = xr.collect_xrefs(buf)
         self._objstm_cache: dict[int, ObjectStream] = {}
+        # beyond-reference extension: empty-user-password RC4 decryption
+        # (pdf/crypt.py); unsupported schemes raise a contained CutError.
+        # No /Encrypt -> decryptor None -> zero behavior change.
+        self.decryptor = None
+        self._current_ref: tuple[int, int] | None = None
+        if self.trailer.encrypt_pos is not None:
+            from .crypt import build_decryptor
+
+            self.decryptor = build_decryptor(
+                buf, self.trailer.encrypt_pos, self.xrefs,
+                self.trailer.file_id)
         self.catalog = self.build(root_ref, _catalog_parser)
 
     # -- builder ------------------------------------------------------------
@@ -188,8 +199,16 @@ class Document:
             offset = loc[1]
             if offset >= len(self.buf):
                 raise ParseError("BadObjectOffset", offset)
-            rid, value, _ = ob.parse_indirect(
-                self.buf, offset, lambda b, p: parser(self, b, p))
+            # the per-object decryption key needs the OWNING indirect
+            # object's id; compressed objects are never encrypted (their
+            # containing /ObjStm payload already was), so only this path
+            # sets the context
+            self._current_ref = ref.id
+            try:
+                rid, value, _ = ob.parse_indirect(
+                    self.buf, offset, lambda b, p: parser(self, b, p))
+            finally:
+                self._current_ref = None
             return value
         # compressed: build the owning ObjectStream, then index into it,
         # following the /Extends chain on a miss (object_stream.rs:71-92,
@@ -311,9 +330,18 @@ def _page_element_parser(doc: Document, buf: bytes, pos: int):
     return _page_element_from_raw(raw), new_pos
 
 
+def _doc_decrypt(doc: Document):
+    """Per-object stream decrypt hook, or None when not encrypted."""
+    if doc.decryptor is None or doc._current_ref is None:
+        return None
+    num, gen = doc._current_ref
+    return lambda data: doc.decryptor.decrypt(num, gen, data)
+
+
 def _stream_content_parser(doc: Document, buf: bytes, pos: int):
     raw, p = ob.parse_raw_dict(buf, pos)
-    content, p = ob.parse_stream_from_dict(buf, p, raw)
+    content, p = ob.parse_stream_from_dict(buf, p, raw,
+                                           decrypt=_doc_decrypt(doc))
     return content, p
 
 
@@ -325,7 +353,8 @@ def _font_tounicode_parser(doc: Document, buf: bytes, pos: int):
 
 def _object_stream_parser(doc: Document, buf: bytes, pos: int):
     raw, p = ob.parse_raw_dict(buf, pos)
-    content, p = ob.parse_stream_from_dict(buf, p, raw)
+    content, p = ob.parse_stream_from_dict(buf, p, raw,
+                                           decrypt=_doc_decrypt(doc))
     return _object_stream_from_stream(doc, raw, content), p
 
 

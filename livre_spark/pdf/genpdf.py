@@ -58,6 +58,9 @@ class PdfBuilder:
     def __init__(self):
         self.objects: dict[int, bytes] = {}
         self._next = 1
+        # optional (oid, bytes) -> bytes hook applied to stream payloads
+        # AFTER filter encoding (PDF encryption order; see pdf/crypt.py)
+        self.encryptor = None
 
     def add(self, value: bytes) -> int:
         oid = self._next
@@ -99,6 +102,8 @@ class PdfBuilder:
         elif lzw:
             content = lzw_encode(content)
             extra_dict += b"/Filter/LZWDecode"
+        if self.encryptor is not None:
+            content = self.encryptor(self._next, content)
         d = b"<</Length " + str(len(content)).encode() + extra_dict + b">>"
         return self.add(d + b"stream\n" + content + b"\nendstream")
 
@@ -117,7 +122,8 @@ class PdfBuilder:
         return bytes(out), offsets
 
     def serialize_plain(self, root: int, prev_pdf: bytes | None = None,
-                        prev_xref_offset: int | None = None) -> bytes:
+                        prev_xref_offset: int | None = None,
+                        extra_trailer: bytes = b"") -> bytes:
         """Plain xref table (trailer_block/plain.rs layout).
 
         With ``prev_pdf`` this writes an *incremental update* appended to
@@ -153,7 +159,7 @@ class PdfBuilder:
                 for oid in r:
                     xref += b"%010d 00000 n \n" % offsets[oid]
         trailer = b"trailer\n<</Size " + str(size).encode()
-        trailer += b"/Root " + str(root).encode() + b" 0 R"
+        trailer += b"/Root " + str(root).encode() + b" 0 R" + extra_trailer
         if prev_xref_offset is not None:
             trailer += b"/Prev " + str(prev_xref_offset).encode()
         trailer += b"/ID[<DEADBEEF00112233> <DEADBEEF00112233>]>>\n"
@@ -231,11 +237,15 @@ def make_object_stream(builder: PdfBuilder, values: list[bytes],
     return sid, members
 
 
+FIXTURE_FILE_ID = bytes.fromhex("DEADBEEF00112233")
+
+
 def build_pdf(page_contents: list[bytes | None], *,
               xref: str = "plain", flate: bool = False, ahx: bool = False,
               a85: bool = False, rle: bool = False, lzw: bool = False,
               nested_tree: bool = False, contents_array: bool = False,
-              use_objstm: bool = False, xref_predictor: bool = False) -> bytes:
+              use_objstm: bool = False, xref_predictor: bool = False,
+              encrypt: str | None = None) -> bytes:
     """Assemble a document whose pages carry the given content streams.
 
     ``None`` page content -> page without /Contents (empty page).
@@ -247,6 +257,29 @@ def build_pdf(page_contents: list[bytes | None], *,
     b = PdfBuilder()
     catalog_id = b.reserve()
     root_pages_id = b.reserve()
+
+    extra_trailer = b""
+    if encrypt is not None:
+        # empty-user-password RC4 standard security handler fixture
+        # (pdf/crypt.py); /O is arbitrary bytes (never validated on the
+        # user-password path - it only feeds the key derivation)
+        from .crypt import compute_file_key, compute_u, object_key, rc4
+
+        assert xref == "plain", "encrypted fixtures use plain xref"
+        r, v, bits = (2, 1, 40) if encrypt == "rc4-40" else (3, 2, 128)
+        o = bytes((i * 7 + 13) & 0xFF for i in range(32))
+        p_val = -44
+        key = compute_file_key(o, p_val, FIXTURE_FILE_ID, r, bits)
+        u = compute_u(key, FIXTURE_FILE_ID, r)
+        b.encryptor = lambda oid, data: rc4(object_key(key, oid, 0), data)
+        enc_id = b.reserve()
+        b.set(enc_id, b"<</Filter/Standard/V " + str(v).encode()
+              + b"/R " + str(r).encode()
+              + b"/Length " + str(bits).encode()
+              + b"/O <" + o.hex().upper().encode() + b">"
+              + b"/U <" + u.hex().upper().encode() + b">"
+              + b"/P " + str(p_val).encode() + b">>")
+        extra_trailer = b"/Encrypt " + str(enc_id).encode() + b" 0 R"
 
     page_ids = []
     kid_entries = []
@@ -296,7 +329,7 @@ def build_pdf(page_contents: list[bytes | None], *,
           + str(root_pages_id).encode() + b" 0 R>>")
 
     if xref == "plain":
-        pdf, _ = b.serialize_plain(catalog_id)
+        pdf, _ = b.serialize_plain(catalog_id, extra_trailer=extra_trailer)
         return pdf
     if xref == "stream":
         if use_objstm:
@@ -447,6 +480,29 @@ def fixture_cases() -> list[dict]:
     case("lzw_content",
          build_pdf([_simple_content(lines)], lzw=True),
          _expected_simple(lines), 1)
+
+    # empty-user-password RC4 encryption (pdf/crypt.py): decrypted
+    # transparently, byte-identical text
+    case("encrypted_rc4_40",
+         build_pdf([_simple_content(lines)], encrypt="rc4-40"),
+         _expected_simple(lines), 1)
+
+    case("encrypted_rc4_128",
+         build_pdf([_simple_content(lines)], flate=True, encrypt="rc4-128"),
+         _expected_simple(lines), 1)
+
+    # non-empty user password / AES: contained EncryptedDocument error
+    enc_pdf = bytearray(build_pdf([_simple_content(lines)],
+                                  encrypt="rc4-128"))
+    at = enc_pdf.find(b"/U <") + 4
+    enc_pdf[at:at + 2] = b"00" if enc_pdf[at:at + 2] != b"00" else b"11"
+    case("encrypted_wrong_password", bytes(enc_pdf), "", 0,
+         error="EncryptedDocument")
+
+    aes_pdf = build_pdf([_simple_content(lines)], encrypt="rc4-128")
+    aes_pdf = aes_pdf.replace(b"/V 2/R 3", b"/V 4/R 4")
+    case("encrypted_aes_unsupported", aes_pdf, "", 0,
+         error="EncryptedDocument")
 
     # the real-world norm: predictor-compressed xref stream
     # (/DecodeParms<</Predictor 12/Columns 7>> over the 7-byte records)
@@ -695,11 +751,14 @@ def generate_row(i: int, seed: int = 42) -> dict:
     ahx = rng.random() < 0.15  # crawl PDFs use ASCIIHexDecode occasionally
     a85 = not ahx and rng.random() < 0.05
     lzw = not (ahx or a85 or flate) and rng.random() < 0.08
+    # ~4% of plain-xref docs are empty-user-password RC4 encrypted
+    enc = ("rc4-128" if xref_style == "plain" and rng.random() < 0.04
+           else None)
     # modern writers predictor-compress xref streams - make it the norm
     xref_pred = xref_style == "stream" and rng.random() < 0.7
     pdf = build_pdf([content for content, _ in rendered],
                     xref=xref_style, flate=flate, ahx=ahx, a85=a85,
-                    lzw=lzw, xref_predictor=xref_pred)
+                    lzw=lzw, xref_predictor=xref_pred, encrypt=enc)
     expected = "".join(exp for _, exp in rendered)
     if roll < 0.06:  # ~1% truncated/corrupt
         pdf = pdf[: max(16, len(pdf) * 2 // 3)]

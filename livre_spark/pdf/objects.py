@@ -536,13 +536,17 @@ def parse_filter_list(buf: bytes, pos: int) -> tuple[list[bytes], int]:
 # ---------------------------------------------------------------------------
 
 
-def parse_stream_from_dict(buf: bytes, pos: int, raw: RawDict) -> tuple[bytes, int]:
+def parse_stream_from_dict(buf: bytes, pos: int, raw: RawDict,
+                           decrypt=None) -> tuple[bytes, int]:
     """Parse + decode stream content given its already-parsed dict.
 
     ``pos`` points just past ``>>``.  Layout per stream.rs:33-49:
     ``multispace0 'stream' line_ending <length bytes> multispace0 'endstream'``.
     ``/Length`` must be a direct integer (the reference's Extract path does
     not follow references for it).
+
+    ``decrypt``: optional ``bytes -> bytes`` applied to the raw payload
+    BEFORE the filter chain (PDF decryption order; pdf/crypt.py).
     """
     length = raw.require(b"Length", parse_unsigned)
     span = raw.pop(b"Filter")
@@ -569,6 +573,8 @@ def parse_stream_from_dict(buf: bytes, pos: int, raw: RawDict) -> tuple[bytes, i
     pos += length
     pos = lex.skip_ws(buf, pos)
     pos = lex.tag(buf, pos, b"endstream")
+    if decrypt is not None:
+        content = decrypt(content)
     return decode_chain(filters, content, parms), pos
 
 

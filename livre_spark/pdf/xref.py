@@ -47,6 +47,9 @@ class Trailer:
     prev: int | None
     root: ob.Ref
     file_id: tuple[bytes, bytes] | None
+    # byte offset of the /Encrypt value span (beyond-reference extension:
+    # the reference never reads /Encrypt; pdf/crypt.py resolves it)
+    encrypt_pos: int | None = None
 
 
 def trailer_from_raw_dict(raw: ob.RawDict) -> Trailer:
@@ -55,7 +58,9 @@ def trailer_from_raw_dict(raw: ob.RawDict) -> Trailer:
     prev = raw.pop_and_parse(b"Prev", ob.parse_unsigned)
     root = raw.require(b"Root", ob.parse_reference)
     file_id = raw.pop_and_parse(b"ID", ob.parse_file_id)
-    return Trailer(size=size, prev=prev, root=root, file_id=file_id)
+    enc_span = raw.pop(b"Encrypt")
+    return Trailer(size=size, prev=prev, root=root, file_id=file_id,
+                   encrypt_pos=enc_span[0] if enc_span else None)
 
 
 # --- plain tables (plain.rs) -------------------------------------------------

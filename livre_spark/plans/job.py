@@ -69,10 +69,12 @@ def build_session(app_name: str = "livre-spark", cores: str | int = "*",
                .config("spark.sql.adaptive.enabled", "true")
                # byte-capped scan splits: the shuffle-free small-doc
                # path relies on these for balance (operators/skew.py).
-               # 4 MiB keeps tasks seconds-long for binary-heavy docs;
-               # raise via env at larger scales to bound task counts
+               # 32 MiB measured best at local[32] (paired-fraction sweep:
+               # 4 MiB 0.39-0.51, 16 MiB 0.55-0.73, 32 MiB 0.85-0.94,
+               # 128 MiB 0.81-0.83 of the same-window mp.Pool ceiling) -
+               # per-task overhead dominates below it, tail imbalance above
                .config("spark.sql.files.maxPartitionBytes", os.environ.get(
-                   "SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 << 20)))
+                   "SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 << 20)))
                .config("spark.driver.memory", os.environ.get(
                    "SPARK_GRAFT_DRIVER_MEM", "8g"))
                .config("spark.ui.enabled", "false")
