@@ -69,7 +69,14 @@ def ensure_corpus(spark, n_docs: int) -> str:
     """Generate (once) the bench corpus in parallel; returns its path."""
     import pyspark.sql.functions as F
 
-    path = os.path.join(CACHE, f"corpus_n{n_docs}_s{SEED}")
+    # the cache key carries a hash of the generator source, so a
+    # generate_row change can never serve a stale corpus
+    import hashlib
+    import inspect
+
+    from livre_spark.pdf import genpdf
+    src_h = hashlib.md5(inspect.getsource(genpdf).encode()).hexdigest()[:8]
+    path = os.path.join(CACHE, f"corpus_n{n_docs}_s{SEED}_{src_h}")
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path

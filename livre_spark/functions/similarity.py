@@ -110,6 +110,8 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 8,
     sampled slice; the index build is a one-time batch job.
     """
     import numpy as np
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
 
     seed_rows = (embeddings.orderBy(id_col).limit(n_cells).collect())
     centroids = [np.asarray(list(r[vec_col]), dtype=np.float64)
@@ -118,16 +120,16 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 8,
         assigned = embeddings.select(
             ivf_cell(F.col(vec_col), [c.tolist() for c in centroids])
             .alias("cell"), vec_col)
+        # one vector-sum expression per group (Summarizer), not dim
+        # separate F.sum columns - the dim-1024 path stays one aggregate
         sums = (assigned.groupBy("cell")
                 .agg(F.count("*").alias("n"),
-                     *[F.sum(F.element_at(F.col(vec_col), i + 1))
-                       .alias(f"s{i}") for i in range(len(centroids[0]))])
+                     Summarizer.sum(
+                         array_to_vector(F.col(vec_col))).alias("s"))
                 .collect())
         for row in sums:
-            c = row["cell"]
-            n = row["n"]
-            centroids[c] = np.array(
-                [row[f"s{i}"] / n for i in range(len(centroids[0]))])
+            centroids[row["cell"]] = np.asarray(
+                row["s"].toArray(), dtype=np.float64) / row["n"]
     return [c.tolist() for c in centroids]
 
 

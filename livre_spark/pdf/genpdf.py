@@ -168,7 +168,8 @@ class PdfBuilder:
 
     def serialize_xref_stream(self, root: int,
                               objstm_members: dict[int, int] | None = None,
-                              predictor: bool = False) -> bytes:
+                              predictor: bool = False,
+                              extra_trailer: bytes = b"") -> bytes:
         """Cross-reference *stream* (trailer_block/stream.rs layout).
 
         ``objstm_members`` maps object-id -> (stream_id, index) packed ids
@@ -206,6 +207,8 @@ class PdfBuilder:
         payload = zlib.compress(raw)
         dict_bytes = (b"<</Type/XRef/W[1 4 2]/Size " + str(size).encode()
                       + b"/Root " + str(root).encode() + b" 0 R"
+                      + extra_trailer
+                      + b"/ID[<DEADBEEF00112233> <DEADBEEF00112233>]"
                       + b"/Filter/FlateDecode" + parms
                       + b"/Length " + str(len(payload)).encode() + b">>")
         xref_obj = (str(xref_id).encode() + b" 0 obj\n" + dict_bytes
@@ -260,22 +263,37 @@ def build_pdf(page_contents: list[bytes | None], *,
 
     extra_trailer = b""
     if encrypt is not None:
-        # empty-user-password RC4 standard security handler fixture
+        # empty-user-password standard security handler fixture
         # (pdf/crypt.py); /O is arbitrary bytes (never validated on the
         # user-password path - it only feeds the key derivation)
-        from .crypt import compute_file_key, compute_u, object_key, rc4
+        import hashlib as _hashlib
 
-        assert xref == "plain", "encrypted fixtures use plain xref"
-        r, v, bits = (2, 1, 40) if encrypt == "rc4-40" else (3, 2, 128)
+        from .crypt import (
+            aes128_cbc_encrypt, compute_file_key, compute_u, object_key,
+            object_key_aes, rc4,
+        )
+
+        r, v, bits = {"rc4-40": (2, 1, 40), "rc4-128": (3, 2, 128),
+                      "aes-128": (4, 4, 128)}[encrypt]
         o = bytes((i * 7 + 13) & 0xFF for i in range(32))
         p_val = -44
         key = compute_file_key(o, p_val, FIXTURE_FILE_ID, r, bits)
         u = compute_u(key, FIXTURE_FILE_ID, r)
-        b.encryptor = lambda oid, data: rc4(object_key(key, oid, 0), data)
+        if encrypt == "aes-128":
+            b.encryptor = lambda oid, data: aes128_cbc_encrypt(
+                object_key_aes(key, oid, 0),
+                _hashlib.md5(b"iv%d" % oid).digest(),  # deterministic IV
+                data)
+            cf = (b"/CF<</StdCF<</CFM/AESV2/AuthEvent/DocOpen"
+                  b"/Length 16>>>>/StmF/StdCF/StrF/StdCF")
+        else:
+            b.encryptor = lambda oid, data: rc4(object_key(key, oid, 0),
+                                                data)
+            cf = b""
         enc_id = b.reserve()
         b.set(enc_id, b"<</Filter/Standard/V " + str(v).encode()
               + b"/R " + str(r).encode()
-              + b"/Length " + str(bits).encode()
+              + b"/Length " + str(bits).encode() + cf
               + b"/O <" + o.hex().upper().encode() + b">"
               + b"/U <" + u.hex().upper().encode() + b">"
               + b"/P " + str(p_val).encode() + b">>")
@@ -340,6 +358,7 @@ def build_pdf(page_contents: list[bytes | None], *,
             b2 = PdfBuilder()
             b2._next = b._next
             b2.objects = dict(b.objects)
+            b2.encryptor = b.encryptor
             new_cat, new_pages = b2._next, b2._next + 1
             remap = {catalog_id: new_cat, root_pages_id: new_pages}
 
@@ -354,9 +373,11 @@ def build_pdf(page_contents: list[bytes | None], *,
                 b2, [fix(cat_val), fix(pages_val)])
             assert sorted(members) == [new_cat, new_pages]
             pdf, _ = b2.serialize_xref_stream(new_cat, objstm_members=members,
-                                              predictor=xref_predictor)
+                                              predictor=xref_predictor,
+                                              extra_trailer=extra_trailer)
             return pdf
-        pdf, _ = b.serialize_xref_stream(catalog_id, predictor=xref_predictor)
+        pdf, _ = b.serialize_xref_stream(catalog_id, predictor=xref_predictor,
+                                         extra_trailer=extra_trailer)
         return pdf
     raise ValueError(f"unknown xref style {xref!r}")
 
@@ -499,9 +520,21 @@ def fixture_cases() -> list[dict]:
     case("encrypted_wrong_password", bytes(enc_pdf), "", 0,
          error="EncryptedDocument")
 
+    # AESV2 (the modern-writer norm) decrypts transparently too
+    case("encrypted_aesv2",
+         build_pdf([_simple_content(lines)], flate=True, encrypt="aes-128"),
+         _expected_simple(lines), 1)
+
+    # encrypted + xref stream + object streams: the ObjStm payload is
+    # itself decrypted with its own object key, members inherit it
+    case("encrypted_objstm",
+         build_pdf([_simple_content(lines)], xref="stream", use_objstm=True,
+                   xref_predictor=True, encrypt="aes-128"),
+         _expected_simple(lines), 1)
+
     aes_pdf = build_pdf([_simple_content(lines)], encrypt="rc4-128")
-    aes_pdf = aes_pdf.replace(b"/V 2/R 3", b"/V 4/R 4")
-    case("encrypted_aes_unsupported", aes_pdf, "", 0,
+    aes_pdf = aes_pdf.replace(b"/V 2/R 3", b"/V 5/R 6")  # AES-256
+    case("encrypted_aes256_unsupported", aes_pdf, "", 0,
          error="EncryptedDocument")
 
     # the real-world norm: predictor-compressed xref stream
@@ -751,9 +784,14 @@ def generate_row(i: int, seed: int = 42) -> dict:
     ahx = rng.random() < 0.15  # crawl PDFs use ASCIIHexDecode occasionally
     a85 = not ahx and rng.random() < 0.05
     lzw = not (ahx or a85 or flate) and rng.random() < 0.08
-    # ~4% of plain-xref docs are empty-user-password RC4 encrypted
-    enc = ("rc4-128" if xref_style == "plain" and rng.random() < 0.04
-           else None)
+    # ~4% of plain-xref docs are empty-user-password encrypted (RC4/AES)
+    enc = None
+    if xref_style == "plain":
+        enc_roll = rng.random()
+        if enc_roll < 0.02:
+            enc = "rc4-128"
+        elif enc_roll < 0.04:
+            enc = "aes-128"
     # modern writers predictor-compress xref streams - make it the norm
     xref_pred = xref_style == "stream" and rng.random() < 0.7
     pdf = build_pdf([content for content, _ in rendered],

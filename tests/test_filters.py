@@ -282,3 +282,33 @@ def test_decryptor_roundtrip_and_wrong_password():
         # a non-empty password derives a different file key
         other = compute_file_key(o, -44, id0, r, bits, password=b"hunter2")
         assert other != key
+
+
+def test_aes_fips197_vector():
+    """FIPS-197 Appendix B: the canonical AES-128 block vector."""
+    from livre_spark.pdf.crypt import (
+        _aes_decrypt_block, _aes_encrypt_block, _expand_key_128,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    rk = _expand_key_128(key)
+    assert _aes_encrypt_block(rk, pt) == ct
+    assert _aes_decrypt_block(rk, ct) == pt
+
+
+def test_aes_cbc_roundtrip_and_padding():
+    from livre_spark.pdf.crypt import aes128_cbc_decrypt, aes128_cbc_encrypt
+    from livre_spark.pdf.errors import CutError
+
+    key = bytes(range(16))
+    iv = bytes(reversed(range(16)))
+    for payload in (b"", b"x", b"0123456789abcdef", b"BT (s) Tj ET" * 33):
+        enc = aes128_cbc_encrypt(key, iv, payload)
+        assert len(enc) % 16 == 0 and enc[:16] == iv
+        assert aes128_cbc_decrypt(key, enc) == payload
+    with pytest.raises(CutError):
+        aes128_cbc_decrypt(key, b"\x00" * 17)  # not block-aligned
+    with pytest.raises(CutError):
+        aes128_cbc_decrypt(key, b"\x00" * 32)  # garbage padding
