@@ -103,6 +103,100 @@ class ToUnicodeCMap:
         return "".join(out)
 
 
+# --- simple-font /Encoding maps ----------------------------------------------
+#
+# Second decode tier for the opt-in ``cmap=True`` path: fonts WITHOUT a
+# /ToUnicode stream but WITH /Encoding /WinAnsiEncoding (= cp1252),
+# /MacRomanEncoding, or an encoding dict with /Differences get a 256-entry
+# byte->char table.  /Differences names resolve through a compact Adobe
+# Glyph List core (ASCII + common typographic/Latin names); unknown names
+# decode to U+FFFD - tolerant by design, like the rest of this module.
+
+
+def _agl_core() -> dict[str, str]:
+    m = {}
+    for i in range(26):
+        m[chr(ord("A") + i)] = chr(ord("A") + i)
+        m[chr(ord("a") + i)] = chr(ord("a") + i)
+    for d, name in enumerate(["zero", "one", "two", "three", "four",
+                              "five", "six", "seven", "eight", "nine"]):
+        m[name] = str(d)
+    m.update({
+        "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+        "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+        "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+        "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+        "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+        "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+        "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+        "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+        "braceright": "}", "asciitilde": "~",
+        "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”",
+        "quotesinglbase": "‚", "quotedblbase": "„",
+        "endash": "–", "emdash": "—", "bullet": "•",
+        "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+        "fi": "ﬁ", "fl": "ﬂ", "guillemotleft": "«",
+        "guillemotright": "»", "perthousand": "‰",
+        "trademark": "™", "Euro": "€", "minus": "−",
+        "multiply": "×", "divide": "÷", "degree": "°",
+        "copyright": "©", "registered": "®", "section": "§",
+        "paragraph": "¶", "cent": "¢", "sterling": "£",
+        "yen": "¥", "florin": "ƒ", "germandbls": "ß",
+        "eacute": "é", "egrave": "è", "agrave": "à",
+        "ccedilla": "ç", "ntilde": "ñ", "adieresis": "ä",
+        "odieresis": "ö", "udieresis": "ü",
+        "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    })
+    return m
+
+
+_AGL_CORE = _agl_core()
+
+_BASE_CODECS = {
+    b"WinAnsiEncoding": "cp1252",
+    b"MacRomanEncoding": "mac_roman",
+    # StandardEncoding approximated by Latin-1 (tolerant path; the high
+    # range differs but the ASCII core - the bulk of real text - matches)
+    b"StandardEncoding": "latin-1",
+}
+
+
+class SimpleEncodingMap:
+    """256-entry byte->char decode table (duck-typed like ToUnicodeCMap)."""
+
+    def __init__(self, table: list[str]):
+        self.table = table
+
+    def decode(self, raw: bytes) -> str:
+        t = self.table
+        return "".join(t[b] for b in raw)
+
+
+def encoding_map(base: bytes | None,
+                 differences: list | None = None) -> SimpleEncodingMap:
+    codec = _BASE_CODECS.get(bytes(base) if base else None, "latin-1")
+    table = []
+    for i in range(256):
+        try:
+            table.append(bytes([i]).decode(codec))
+        except UnicodeDecodeError:
+            table.append("�")
+    if differences:
+        code = 0
+        for item in differences:
+            if isinstance(item, bool):
+                continue
+            if isinstance(item, int):
+                code = item
+            elif isinstance(item, (bytes, bytearray)):
+                if 0 <= code < 256:
+                    table[code] = _AGL_CORE.get(
+                        bytes(item).decode("latin-1"), "�")
+                code += 1
+    return SimpleEncodingMap(table)
+
+
 def parse_tounicode(data: bytes) -> ToUnicodeCMap:
     """Parse a decoded ToUnicode CMap stream body."""
     codespaces: dict[int, list[tuple[int, int]]] = {}
