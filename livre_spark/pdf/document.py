@@ -266,11 +266,13 @@ class Document:
     def page_tounicode_cmaps(self, page: Page) -> dict:
         """Opt-in extension (NOT reference behavior - the reference never
         touches /Font): resolve the page's /Resources -> /Font map and
-        parse each font's /ToUnicode CMap stream.  Used only by
-        ``extract_text(..., cmap=True)``; fully contained - any failure
-        just leaves that font without a CMap (heuristic decode fallback).
+        build a decoder per font - the /ToUnicode CMap when present, else
+        a simple-font /Encoding byte table (WinAnsi/MacRoman/Differences,
+        cmap.encoding_map).  Used only by ``extract_text(..., cmap=True)``;
+        fully contained - any failure just leaves that font without a
+        decoder (heuristic decode fallback).
         """
-        from .cmap import parse_tounicode
+        from .cmap import encoding_map, parse_tounicode
 
         res = page.props.resources
         if res is None:
@@ -287,14 +289,34 @@ class Document:
         cmaps = {}
         for name, ref in fonts.items():
             try:
-                tu_ref = self.build(ref, _font_tounicode_parser)
-                if tu_ref is None:
-                    continue
-                data = self.build(tu_ref, _stream_content_parser)
-                cmaps[bytes(name)] = parse_tounicode(data)
+                tu_ref, enc = self.build(ref, _font_decode_parser)
+                if tu_ref is not None:
+                    data = self.build(tu_ref, _stream_content_parser)
+                    cmaps[bytes(name)] = parse_tounicode(data)
+                elif enc is not None:
+                    cmaps[bytes(name)] = encoding_map(*enc)
             except Exception:
                 continue
         return cmaps
+
+    def _resolve_encoding(self, buf: bytes, pos: int):
+        """/Encoding value -> (base_name, differences) or None.
+
+        Accepts a bare name, an inline dict, or a reference to a dict."""
+        try:
+            name, _ = ob.parse_name(buf, pos)
+            return (bytes(name), None)
+        except ParseError:
+            pass
+        try:
+            ref, _ = ob.parse_reference(buf, pos)
+            return self.build(ref, _encoding_dict_parser)
+        except ParseError:
+            pass
+        try:
+            return _encoding_dict_parser(self, buf, pos)[0]
+        except ParseError:
+            return None
 
 
 # --- typed per-object parsers (the ``Build`` impls) --------------------------
@@ -345,10 +367,27 @@ def _stream_content_parser(doc: Document, buf: bytes, pos: int):
     return content, p
 
 
-def _font_tounicode_parser(doc: Document, buf: bytes, pos: int):
-    """Font dict -> its /ToUnicode reference (or None).  Extension-only."""
+def _font_decode_parser(doc: Document, buf: bytes, pos: int):
+    """Font dict -> (/ToUnicode ref or None, resolved /Encoding info or
+    None).  Extension-only."""
     raw, p = ob.parse_raw_dict(buf, pos)
-    return raw.pop_and_parse(b"ToUnicode", ob.parse_reference), p
+    tu = raw.pop_and_parse(b"ToUnicode", ob.parse_reference)
+    enc_span = raw.pop(b"Encoding")
+    enc = None
+    if tu is None and enc_span is not None:
+        enc = doc._resolve_encoding(buf, enc_span[0])
+    return (tu, enc), p
+
+
+def _encoding_dict_parser(doc: Document, buf: bytes, pos: int):
+    """Encoding dict -> (BaseEncoding name or None, Differences list)."""
+    raw, p = ob.parse_raw_dict(buf, pos)
+    base = raw.pop_and_parse(b"BaseEncoding", ob.parse_name)
+    diff_span = raw.pop(b"Differences")
+    diffs = None
+    if diff_span is not None:
+        diffs, _ = ob.parse_vec(buf, diff_span[0], ob.parse_object)
+    return (bytes(base) if base is not None else None, diffs), p
 
 
 def _object_stream_parser(doc: Document, buf: bytes, pos: int):

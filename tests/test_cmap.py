@@ -118,3 +118,68 @@ def test_fused_twopass_equivalence_with_cmaps():
         extract_page_twopass(content, cmaps)
     t, spans, err = extract_page(content, cmaps)
     assert "AHi" in t and "\x00\x01" in t  # F3 has no cmap -> heuristic
+
+
+def test_encoding_map_tables():
+    from livre_spark.pdf.cmap import encoding_map
+
+    win = encoding_map(b"WinAnsiEncoding")
+    assert win.decode(b"\x93Hi\x94") == "“Hi”"   # cp1252 curly quotes
+    assert win.decode(b"\x85") == "…"                  # ellipsis
+    mac = encoding_map(b"MacRomanEncoding")
+    assert mac.decode(b"\x8e") == "é"                  # mac-roman eacute
+    std = encoding_map(None)
+    assert std.decode(b"caf\xe9") == "café"            # latin-1 fallback
+
+    # Differences: code resets + consecutive names + unknown name
+    diff = encoding_map(b"WinAnsiEncoding",
+                        [65, b"bullet", b"Euro", 200, b"notaglyph"])
+    assert diff.decode(b"A") == "•"
+    assert diff.decode(b"B") == "€"
+    assert diff.decode(b"\xc8") == "�"
+    assert diff.decode(b"C") == "C"  # untouched codes keep the base
+
+
+def _encoding_pdf() -> bytes:
+    """Simple fonts: /F1 WinAnsi (bare name), /F2 encoding dict with
+    /Differences, /F3 ToUnicode (takes precedence over /Encoding)."""
+    b = PdfBuilder()
+    catalog = b.reserve()
+    pages = b.reserve()
+    page = b.reserve()
+    f1 = b.add(b"<</Type/Font/Subtype/TrueType/BaseFont/W"
+               b"/Encoding/WinAnsiEncoding>>")
+    encdict = b.add(b"<</Type/Encoding/BaseEncoding/WinAnsiEncoding"
+                    b"/Differences[65 /bullet /Euro]>>")
+    f2 = b.add(b"<</Type/Font/Subtype/Type1/BaseFont/D"
+               b"/Encoding " + str(encdict).encode() + b" 0 R>>")
+    tounicode = b.add_stream(b"", SAMPLE_CMAP)
+    f3 = b.add(b"<</Type/Font/Subtype/Type0/BaseFont/T"
+               b"/Encoding/Identity-H"
+               b"/ToUnicode " + str(tounicode).encode() + b" 0 R>>")
+    c1 = b.add_stream(b"", b"BT /F1 12 Tf 72 720 Td (\x93q\x94) Tj ET "
+                           b"BT /F2 12 Tf 72 700 Td (AB.) Tj ET "
+                           b"BT /F3 12 Tf 72 680 Td <00010002> Tj ET")
+    b.set(page, b"<</Type/Page/Parent " + str(pages).encode() + b" 0 R"
+          b"/Resources<</Font<</F1 " + str(f1).encode() + b" 0 R"
+          b"/F2 " + str(f2).encode() + b" 0 R"
+          b"/F3 " + str(f3).encode() + b" 0 R>>>>"
+          b"/Contents " + str(c1).encode() + b" 0 R>>")
+    b.set(pages, b"<</Type/Pages/Kids[" + str(page).encode()
+          + b" 0 R]/Count 1>>")
+    b.set(catalog, b"<</Type/Catalog/Pages " + str(pages).encode() + b" 0 R>>")
+    pdf, _ = b.serialize_plain(catalog)
+    return pdf
+
+
+def test_simple_font_encoding_end_to_end():
+    pdf = _encoding_pdf()
+    r = extract_text(pdf, cmap=True)
+    assert r["error"] is None
+    assert "“q”" in r["text"]       # WinAnsi curly quotes
+    assert "•€." in r["text"]       # Differences override A,B
+    assert "AHi" in r["text"]                 # ToUnicode wins over Encoding
+    # default mode: raw bytes through the reference heuristic, unchanged
+    r0 = extract_text(pdf)
+    assert "“q”" not in r0["text"]
+    assert "AB." in r0["text"]
