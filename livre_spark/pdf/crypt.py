@@ -140,30 +140,39 @@ def _gmul(a: int, b: int) -> int:
     return out
 
 
-def _expand_key_128(key: bytes) -> list[list[int]]:
-    """11 round keys of 16 bytes each."""
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+def _expand_key(key: bytes) -> list[list[int]]:
+    """AES key schedule for 128- or 256-bit keys: Nr+1 round keys."""
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
             t[0] ^= rcon
             rcon = _xtime(rcon)
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[r * 4 : r * 4 + 4], []) for r in range(11)]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[r * 4 : r * 4 + 4], []) for r in range(nr + 1)]
+
+
+def _expand_key_128(key: bytes) -> list[list[int]]:
+    return _expand_key(key)
 
 
 def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    nr = len(rk) - 1
     # the 16-byte block IS the column-major state: byte i = (row i%4, col i//4)
     s = [b ^ k for b, k in zip(block, rk[0])]
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         s = [_SBOX[b] for b in s]
         # ShiftRows on column-major byte order: byte i sits at
         # (row, col) = (i % 4, i // 4); row r rotates left by r
         s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
-        if rnd < 10:
+        if rnd < nr:
             t = []
             for c in range(4):
                 col = s[4 * c : 4 * c + 4]
@@ -179,8 +188,9 @@ def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
 
 
 def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
-    s = [b ^ k for b, k in zip(block, rk[10])]
-    for rnd in range(9, -1, -1):
+    nr = len(rk) - 1
+    s = [b ^ k for b, k in zip(block, rk[nr])]
+    for rnd in range(nr - 1, -1, -1):
         # InvShiftRows: row r rotates right by r
         s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
         s = [_INV_SBOX[b] for b in s]
@@ -203,19 +213,156 @@ def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
     return bytes(s)
 
 
+# T-table AES: one 32-bit word lookup per state byte instead of per-byte
+# GF arithmetic (~10x in pure Python - the Algorithm 2.B KDF runs ~16k
+# block encryptions per password check, and 2% of the crawl corpus pays
+# CBC decryption per stream).  Validated against the scalar path and the
+# FIPS-197 vectors in tests/test_filters.py; a production deployment
+# would swap in a C AES behind these same two functions.
+
+
+def _rotr32(x: int, n: int) -> int:
+    return ((x >> n) | (x << (32 - n))) & 0xFFFFFFFF
+
+
+def _gen_tables():
+    te0, td0 = [], []
+    for x in range(256):
+        s = _SBOX[x]
+        te0.append(((_gmul(s, 2) << 24) | (s << 16) | (s << 8)
+                    | _gmul(s, 3)) & 0xFFFFFFFF)
+        si = _INV_SBOX[x]
+        td0.append(((_gmul(si, 14) << 24) | (_gmul(si, 9) << 16)
+                    | (_gmul(si, 13) << 8) | _gmul(si, 11)) & 0xFFFFFFFF)
+    te = [te0] + [[_rotr32(v, 8 * i) for v in te0] for i in range(1, 4)]
+    td = [td0] + [[_rotr32(v, 8 * i) for v in td0] for i in range(1, 4)]
+    return te, td
+
+
+(_TE0, _TE1, _TE2, _TE3), (_TD0, _TD1, _TD2, _TD3) = _gen_tables()
+
+
+def _rk_words(rk: list[list[int]]) -> list[list[int]]:
+    """Round keys as 4 big-endian column words each."""
+    return [[(k[4 * j] << 24) | (k[4 * j + 1] << 16)
+             | (k[4 * j + 2] << 8) | k[4 * j + 3] for j in range(4)]
+            for k in rk]
+
+
+def _aes_encrypt_block_fast(rkw: list[list[int]], block: bytes) -> bytes:
+    nr = len(rkw) - 1
+    t0, t1, t2, t3, sb = _TE0, _TE1, _TE2, _TE3, _SBOX
+    k = rkw[0]
+    w0 = int.from_bytes(block[0:4], "big") ^ k[0]
+    w1 = int.from_bytes(block[4:8], "big") ^ k[1]
+    w2 = int.from_bytes(block[8:12], "big") ^ k[2]
+    w3 = int.from_bytes(block[12:16], "big") ^ k[3]
+    for rnd in range(1, nr):
+        k = rkw[rnd]
+        n0 = (t0[w0 >> 24] ^ t1[(w1 >> 16) & 0xFF]
+              ^ t2[(w2 >> 8) & 0xFF] ^ t3[w3 & 0xFF] ^ k[0])
+        n1 = (t0[w1 >> 24] ^ t1[(w2 >> 16) & 0xFF]
+              ^ t2[(w3 >> 8) & 0xFF] ^ t3[w0 & 0xFF] ^ k[1])
+        n2 = (t0[w2 >> 24] ^ t1[(w3 >> 16) & 0xFF]
+              ^ t2[(w0 >> 8) & 0xFF] ^ t3[w1 & 0xFF] ^ k[2])
+        n3 = (t0[w3 >> 24] ^ t1[(w0 >> 16) & 0xFF]
+              ^ t2[(w1 >> 8) & 0xFF] ^ t3[w2 & 0xFF] ^ k[3])
+        w0, w1, w2, w3 = n0, n1, n2, n3
+    k = rkw[nr]
+    v0 = ((sb[w0 >> 24] << 24) | (sb[(w1 >> 16) & 0xFF] << 16)
+          | (sb[(w2 >> 8) & 0xFF] << 8) | sb[w3 & 0xFF]) ^ k[0]
+    v1 = ((sb[w1 >> 24] << 24) | (sb[(w2 >> 16) & 0xFF] << 16)
+          | (sb[(w3 >> 8) & 0xFF] << 8) | sb[w0 & 0xFF]) ^ k[1]
+    v2 = ((sb[w2 >> 24] << 24) | (sb[(w3 >> 16) & 0xFF] << 16)
+          | (sb[(w0 >> 8) & 0xFF] << 8) | sb[w1 & 0xFF]) ^ k[2]
+    v3 = ((sb[w3 >> 24] << 24) | (sb[(w0 >> 16) & 0xFF] << 16)
+          | (sb[(w1 >> 8) & 0xFF] << 8) | sb[w2 & 0xFF]) ^ k[3]
+    return ((v0 << 96) | (v1 << 64) | (v2 << 32) | v3).to_bytes(16, "big")
+
+
+def _inv_mix_word(v: int) -> int:
+    b = [(v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF]
+    return ((_gmul(b[0], 14) ^ _gmul(b[1], 11) ^ _gmul(b[2], 13)
+             ^ _gmul(b[3], 9)) << 24 \
+        | (_gmul(b[0], 9) ^ _gmul(b[1], 14) ^ _gmul(b[2], 11)
+           ^ _gmul(b[3], 13)) << 16 \
+        | (_gmul(b[0], 13) ^ _gmul(b[1], 9) ^ _gmul(b[2], 14)
+           ^ _gmul(b[3], 11)) << 8 \
+        | (_gmul(b[0], 11) ^ _gmul(b[1], 13) ^ _gmul(b[2], 9)
+           ^ _gmul(b[3], 14))) & 0xFFFFFFFF
+
+
+def _rk_words_dec(rk: list[list[int]]) -> list[list[int]]:
+    """Equivalent-inverse-cipher keys: InvMixColumns on the middle rounds."""
+    rkw = _rk_words(rk)
+    nr = len(rkw) - 1
+    return [rkw[0]] + [[_inv_mix_word(v) for v in rkw[r]]
+                       for r in range(1, nr)] + [rkw[nr]]
+
+
+def _aes_decrypt_block_fast(rkw_dec: list[list[int]], block: bytes) -> bytes:
+    nr = len(rkw_dec) - 1
+    t0, t1, t2, t3, sb = _TD0, _TD1, _TD2, _TD3, _INV_SBOX
+    k = rkw_dec[nr]
+    w0 = int.from_bytes(block[0:4], "big") ^ k[0]
+    w1 = int.from_bytes(block[4:8], "big") ^ k[1]
+    w2 = int.from_bytes(block[8:12], "big") ^ k[2]
+    w3 = int.from_bytes(block[12:16], "big") ^ k[3]
+    for rnd in range(nr - 1, 0, -1):
+        k = rkw_dec[rnd]
+        n0 = (t0[w0 >> 24] ^ t1[(w3 >> 16) & 0xFF]
+              ^ t2[(w2 >> 8) & 0xFF] ^ t3[w1 & 0xFF] ^ k[0])
+        n1 = (t0[w1 >> 24] ^ t1[(w0 >> 16) & 0xFF]
+              ^ t2[(w3 >> 8) & 0xFF] ^ t3[w2 & 0xFF] ^ k[1])
+        n2 = (t0[w2 >> 24] ^ t1[(w1 >> 16) & 0xFF]
+              ^ t2[(w0 >> 8) & 0xFF] ^ t3[w3 & 0xFF] ^ k[2])
+        n3 = (t0[w3 >> 24] ^ t1[(w2 >> 16) & 0xFF]
+              ^ t2[(w1 >> 8) & 0xFF] ^ t3[w0 & 0xFF] ^ k[3])
+        w0, w1, w2, w3 = n0, n1, n2, n3
+    k = rkw_dec[0]
+    v0 = ((sb[w0 >> 24] << 24) | (sb[(w3 >> 16) & 0xFF] << 16)
+          | (sb[(w2 >> 8) & 0xFF] << 8) | sb[w1 & 0xFF]) ^ k[0]
+    v1 = ((sb[w1 >> 24] << 24) | (sb[(w0 >> 16) & 0xFF] << 16)
+          | (sb[(w3 >> 8) & 0xFF] << 8) | sb[w2 & 0xFF]) ^ k[1]
+    v2 = ((sb[w2 >> 24] << 24) | (sb[(w1 >> 16) & 0xFF] << 16)
+          | (sb[(w0 >> 8) & 0xFF] << 8) | sb[w3 & 0xFF]) ^ k[2]
+    v3 = ((sb[w3 >> 24] << 24) | (sb[(w2 >> 16) & 0xFF] << 16)
+          | (sb[(w1 >> 8) & 0xFF] << 8) | sb[w0 & 0xFF]) ^ k[3]
+    return ((v0 << 96) | (v1 << 64) | (v2 << 32) | v3).to_bytes(16, "big")
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC encrypt, no padding, no IV prefix (Algorithm 2.B step)."""
+    rkw = _rk_words(_expand_key(key))
+    out = bytearray()
+    prev_i = int.from_bytes(iv, "big")
+    for i in range(0, len(data), 16):
+        block = (int.from_bytes(data[i : i + 16], "big")
+                 ^ prev_i).to_bytes(16, "big")
+        enc = _aes_encrypt_block_fast(rkw, block)
+        prev_i = int.from_bytes(enc, "big")
+        out += enc
+    return bytes(out)
+
+
+def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rkw_dec = _rk_words_dec(_expand_key(key))
+    out = bytearray()
+    prev_i = int.from_bytes(iv, "big")
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        plain = _aes_decrypt_block_fast(rkw_dec, block)
+        out += (int.from_bytes(plain, "big") ^ prev_i).to_bytes(16, "big")
+        prev_i = int.from_bytes(block, "big")
+    return bytes(out)
+
+
 def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 stream layout: 16-byte IV prefix + CBC ciphertext with
-    PKCS#5 padding (PDF 32000-1 7.6.2)."""
+    """PDF AESV2/AESV3 stream layout: 16-byte IV prefix + CBC ciphertext
+    with PKCS#5 padding (PDF 32000-1 7.6.2); key may be 16 or 32 bytes."""
     if len(data) < 32 or len(data) % 16 != 0:
         raise CutError("EncryptedDocument", None, "bad AES payload length")
-    rk = _expand_key_128(key)
-    prev = data[:16]
-    out = bytearray()
-    for i in range(16, len(data), 16):
-        block = data[i : i + 16]
-        plain = _aes_decrypt_block(rk, block)
-        out += bytes(a ^ b for a, b in zip(plain, prev))
-        prev = block
+    out = bytearray(_aes_cbc_decrypt_nopad(key, data[:16], data[16:]))
     pad = out[-1]
     if not (1 <= pad <= 16) or out[-pad:] != bytes([pad]) * pad:
         raise CutError("EncryptedDocument", None, "bad AES padding")
@@ -226,14 +373,7 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
     """Fixture-writer counterpart (deterministic IV supplied by caller)."""
     pad = 16 - (len(plain) % 16)
     plain = plain + bytes([pad]) * pad
-    rk = _expand_key_128(key)
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(plain), 16):
-        block = bytes(a ^ b for a, b in zip(plain[i : i + 16], prev))
-        prev = _aes_encrypt_block(rk, block)
-        out += prev
-    return bytes(out)
+    return iv + _aes_cbc_encrypt_nopad(key, iv, plain)
 
 
 def object_key_aes(file_key: bytes, num: int, gen: int) -> bytes:
@@ -246,15 +386,51 @@ def object_key_aes(file_key: bytes, num: int, gen: int) -> bytes:
     return h.digest()[: min(len(file_key) + 5, 16)]
 
 
-class StandardDecryptor:
-    """Empty-user-password decryptor for one document (RC4 or AESV2)."""
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """PDF 2.0 Algorithm 2.B (R6): the iterated SHA-2 / AES-CBC hash."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
 
-    def __init__(self, file_key: bytes, aes: bool = False):
+
+def r6_file_key(u: bytes, ue: bytes, password: bytes = b"") -> bytes:
+    """Algorithm 2.A user-password path (R6): verify /U, unwrap /UE.
+
+    /U = 48 bytes: hash(32) + validation salt(8) + key salt(8);
+    /UE = the file key AES-256-CBC-wrapped (zero IV, no padding) under
+    the intermediate key derived from the key salt.
+    """
+    if len(u) < 48 or len(ue) < 32:
+        raise CutError("EncryptedDocument", None, "bad U/UE length")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if hash_2b(password, vsalt) != u[:32]:
+        raise CutError("EncryptedDocument", None,
+                       "non-empty user password")
+    intermediate = hash_2b(password, ksalt)
+    return _aes_cbc_decrypt_nopad(intermediate, b"\x00" * 16, ue[:32])
+
+
+class StandardDecryptor:
+    """Empty-user-password decryptor for one document.
+
+    ``mode``: ``"rc4"`` (V1-2), ``"aesv2"`` (V4, per-object MD5+sAlT
+    keys), or ``"aesv3"`` (V5/R6, the 32-byte file key used directly)."""
+
+    def __init__(self, file_key: bytes, mode: str = "rc4"):
         self.file_key = file_key
-        self.aes = aes
+        self.mode = mode
 
     def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        if self.aes:
+        if self.mode == "aesv3":
+            return aes128_cbc_decrypt(self.file_key, data)
+        if self.mode == "aesv2":
             return aes128_cbc_decrypt(
                 object_key_aes(self.file_key, num, gen), data)
         return rc4(object_key(self.file_key, num, gen), data)
@@ -287,10 +463,9 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
                        f"security handler {bytes(filt or b'?')!r}")
     v = raw.pop_and_parse(b"V", ob.parse_unsigned) or 0
     r = raw.pop_and_parse(b"R", ob.parse_unsigned) or 0
-    aes = False
-    if v == 4 and r == 4:
-        # crypt-filter container: /CF <</StdCF <</CFM /AESV2|/V2 ...>>>>
-        # with /StmF /StdCF.  AES-256 (/V 5 /R 6) stays unsupported.
+    mode = "rc4"
+    if v in (4, 5):
+        # crypt-filter container: /CF <</StdCF <</CFM ...>>>> + /StmF
         cf = raw.pop_and_parse(b"CF", ob.parse_dict_object) or {}
         stmf = raw.pop_and_parse(b"StmF", ob.parse_name)
         if stmf is not None and bytes(stmf) != b"StdCF":
@@ -299,10 +474,24 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
         stdcf = cf.get(b"StdCF") if isinstance(cf, dict) else None
         cfm = stdcf.get(b"CFM") if isinstance(stdcf, dict) else None
         cfm = bytes(cfm) if cfm is not None else b"?"
-        if cfm == b"AESV2":
-            aes = True
-        elif cfm != b"V2":  # V2 = RC4 inside the V4 container
-            raise CutError("EncryptedDocument", None, f"CFM {cfm!r}")
+        if v == 5 and r == 6:
+            # PDF 2.0 AES-256 (Algorithm 2.A/2.B): the file key comes
+            # from /UE, no per-object derivation
+            if cfm not in (b"AESV3", b"?"):
+                raise CutError("EncryptedDocument", None, f"CFM {cfm!r}")
+            u5 = raw.pop_and_parse(b"U", ob.parse_string)
+            ue = raw.pop_and_parse(b"UE", ob.parse_string)
+            if u5 is None or ue is None:
+                raise CutError("EncryptedDocument", None, "missing U/UE")
+            return StandardDecryptor(
+                r6_file_key(bytes(u5), bytes(ue)), mode="aesv3")
+        if v == 4 and r == 4:
+            if cfm == b"AESV2":
+                mode = "aesv2"
+            elif cfm != b"V2":  # V2 = RC4 inside the V4 container
+                raise CutError("EncryptedDocument", None, f"CFM {cfm!r}")
+        else:
+            raise CutError("EncryptedDocument", None, f"V={v} R={r}")
     elif v not in (1, 2) or r not in (2, 3):
         raise CutError("EncryptedDocument", None, f"V={v} R={r}")
     length = raw.pop_and_parse(b"Length", ob.parse_unsigned) or 40
@@ -322,4 +511,4 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
     if not match:
         raise CutError("EncryptedDocument", None,
                        "non-empty user password")
-    return StandardDecryptor(key, aes=aes)
+    return StandardDecryptor(key, mode=mode)

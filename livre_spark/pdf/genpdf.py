@@ -269,9 +269,36 @@ def build_pdf(page_contents: list[bytes | None], *,
         import hashlib as _hashlib
 
         from .crypt import (
+            _aes_cbc_encrypt_nopad, aes128_cbc_encrypt, compute_file_key,
+            compute_u, hash_2b, object_key, object_key_aes, rc4,
+        )
+
+        if encrypt == "aes-256":
+            # PDF 2.0 R6: the 32-byte file key is wrapped in /UE; /O and
+            # /OE are arbitrary on the user-password path
+            file_key = bytes((i * 11 + 3) & 0xFF for i in range(32))
+            vsalt, ksalt = b"vsalt678", b"ksalt678"
+            u = hash_2b(b"", vsalt) + vsalt + ksalt
+            ue = _aes_cbc_encrypt_nopad(hash_2b(b"", ksalt), b"\x00" * 16,
+                                        file_key)
+            b.encryptor = lambda oid, data: aes128_cbc_encrypt(
+                file_key, _hashlib.md5(b"iv%d" % oid).digest(), data)
+            enc_id = b.reserve()
+            b.set(enc_id, b"<</Filter/Standard/V 5/R 6/Length 256"
+                  b"/CF<</StdCF<</CFM/AESV3/AuthEvent/DocOpen"
+                  b"/Length 32>>>>/StmF/StdCF/StrF/StdCF"
+                  b"/O <" + (b"00" * 48) + b">/OE <" + (b"00" * 32) + b">"
+                  b"/U <" + u.hex().upper().encode() + b">"
+                  b"/UE <" + ue.hex().upper().encode() + b">"
+                  b"/P -44/Perms <" + (b"00" * 16) + b">>>")
+            extra_trailer = b"/Encrypt " + str(enc_id).encode() + b" 0 R"
+            encrypt = None  # handled; skip the V<5 flow below
+    if encrypt is not None:
+        from .crypt import (
             aes128_cbc_encrypt, compute_file_key, compute_u, object_key,
             object_key_aes, rc4,
         )
+        import hashlib as _hashlib
 
         r, v, bits = {"rc4-40": (2, 1, 40), "rc4-128": (3, 2, 128),
                       "aes-128": (4, 4, 128)}[encrypt]
@@ -532,9 +559,17 @@ def fixture_cases() -> list[dict]:
                    xref_predictor=True, encrypt="aes-128"),
          _expected_simple(lines), 1)
 
-    aes_pdf = build_pdf([_simple_content(lines)], encrypt="rc4-128")
-    aes_pdf = aes_pdf.replace(b"/V 2/R 3", b"/V 5/R 6")  # AES-256
-    case("encrypted_aes256_unsupported", aes_pdf, "", 0,
+    # PDF 2.0 AES-256 (V5/R6): Algorithm 2.A/2.B file-key unwrap
+    case("encrypted_aes256",
+         build_pdf([_simple_content(lines)], flate=True, encrypt="aes-256"),
+         _expected_simple(lines), 1)
+
+    # R6 with a corrupted /U hash: rejected as a wrong password
+    r6_pdf = bytearray(build_pdf([_simple_content(lines)],
+                                 encrypt="aes-256"))
+    at = r6_pdf.find(b"/U <") + 4
+    r6_pdf[at:at + 2] = b"00" if r6_pdf[at:at + 2] != b"00" else b"11"
+    case("encrypted_aes256_wrong_password", bytes(r6_pdf), "", 0,
          error="EncryptedDocument")
 
     # the real-world norm: predictor-compressed xref stream

@@ -312,3 +312,35 @@ def test_aes_cbc_roundtrip_and_padding():
         aes128_cbc_decrypt(key, b"\x00" * 17)  # not block-aligned
     with pytest.raises(CutError):
         aes128_cbc_decrypt(key, b"\x00" * 32)  # garbage padding
+
+
+def test_aes256_fips197_vector():
+    """FIPS-197 Appendix C.3: the canonical AES-256 block vector."""
+    from livre_spark.pdf.crypt import (
+        _aes_decrypt_block, _aes_encrypt_block, _expand_key,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                        "101112131415161718191a1b1c1d1e1f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    rk = _expand_key(key)
+    assert _aes_encrypt_block(rk, pt) == ct
+    assert _aes_decrypt_block(rk, ct) == pt
+
+
+def test_r6_key_unwrap_roundtrip():
+    from livre_spark.pdf.crypt import (
+        _aes_cbc_encrypt_nopad, hash_2b, r6_file_key,
+    )
+    from livre_spark.pdf.errors import CutError
+
+    file_key = bytes(range(32))
+    vsalt, ksalt = b"vsalt678", b"ksalt678"
+    u = hash_2b(b"", vsalt) + vsalt + ksalt
+    ue = _aes_cbc_encrypt_nopad(hash_2b(b"", ksalt), b"\x00" * 16, file_key)
+    assert r6_file_key(u, ue) == file_key
+    with pytest.raises(CutError):
+        r6_file_key(b"\x00" * 48, ue)  # corrupted hash = wrong password
+    # a non-empty password hashes differently
+    assert hash_2b(b"hunter2", vsalt) != u[:32]
