@@ -386,6 +386,43 @@ def object_key_aes(file_key: bytes, num: int, gen: int) -> bytes:
     return h.digest()[: min(len(file_key) + 5, 16)]
 
 
+def owner_key_rc4(owner_password: bytes, r: int,
+                  length_bits: int = 40) -> bytes:
+    """Algorithm 3 steps a-d: the RC4 key derived from the owner password
+    (used both to create /O and to unwind it back to the user password)."""
+    n = 5 if r == 2 else max(5, min(16, length_bits // 8))
+    key = hashlib.md5((owner_password + PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    return key[:n]
+
+
+def compute_o(user_password: bytes, owner_password: bytes, r: int,
+              length_bits: int = 40) -> bytes:
+    """Algorithm 3: the /O entry (RC4-wrapped padded user password)."""
+    okey = owner_key_rc4(owner_password, r, length_bits)
+    data = (user_password + PAD)[:32]
+    rounds = 20 if r >= 3 else 1
+    for i in range(rounds):
+        data = rc4(bytes(b ^ i for b in okey), data)
+    return data
+
+
+def recover_user_password(o: bytes, owner_password: bytes, r: int,
+                          length_bits: int = 40) -> bytes:
+    """Algorithm 7 steps a-b: unwind /O with the owner password to the
+    padded user password."""
+    okey = owner_key_rc4(owner_password, r, length_bits)
+    data = o[:32]
+    if r >= 3:
+        for i in range(19, -1, -1):
+            data = rc4(bytes(b ^ i for b in okey), data)
+    else:
+        data = rc4(okey, data)
+    return data
+
+
 def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     """PDF 2.0 Algorithm 2.B (R6): the iterated SHA-2 / AES-CBC hash."""
     k = hashlib.sha256(password + salt + udata).digest()
@@ -398,6 +435,21 @@ def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
         rnd += 1
         if rnd >= 64 and e[-1] <= rnd - 32:
             return k[:32]
+
+
+def r6_owner_file_key(o: bytes, oe: bytes, u: bytes,
+                      password: bytes = b"") -> bytes:
+    """Algorithm 2.A owner-password path (R6): /O carries
+    hash(32)+validation salt(8)+key salt(8), both hashes salted with the
+    48-byte /U; /OE wraps the file key under the owner intermediate."""
+    if len(o) < 48 or len(oe) < 32 or len(u) < 48:
+        raise CutError("EncryptedDocument", None, "bad O/OE/U length")
+    vsalt, ksalt = o[32:40], o[40:48]
+    if hash_2b(password, vsalt, u[:48]) != o[:32]:
+        raise CutError("EncryptedDocument", None,
+                       "non-empty owner password")
+    intermediate = hash_2b(password, ksalt, u[:48])
+    return _aes_cbc_decrypt_nopad(intermediate, b"\x00" * 16, oe[:32])
 
 
 def r6_file_key(u: bytes, ue: bytes, password: bytes = b"") -> bytes:
@@ -481,10 +533,20 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
                 raise CutError("EncryptedDocument", None, f"CFM {cfm!r}")
             u5 = raw.pop_and_parse(b"U", ob.parse_string)
             ue = raw.pop_and_parse(b"UE", ob.parse_string)
+            o5 = raw.pop_and_parse(b"O", ob.parse_string)
+            oe = raw.pop_and_parse(b"OE", ob.parse_string)
             if u5 is None or ue is None:
                 raise CutError("EncryptedDocument", None, "missing U/UE")
-            return StandardDecryptor(
-                r6_file_key(bytes(u5), bytes(ue)), mode="aesv3")
+            try:
+                return StandardDecryptor(
+                    r6_file_key(bytes(u5), bytes(ue)), mode="aesv3")
+            except CutError:
+                # user password set but OWNER password empty: unwrap /OE
+                if o5 is None or oe is None:
+                    raise
+                return StandardDecryptor(
+                    r6_owner_file_key(bytes(o5), bytes(oe), bytes(u5)),
+                    mode="aesv3")
         if v == 4 and r == 4:
             if cfm == b"AESV2":
                 mode = "aesv2"
@@ -509,6 +571,16 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
     match = (got_u[:16] == expected_u[:16] if r >= 3
              else got_u[:32] == expected_u[:32])
     if not match:
+        # owner path (Algorithm 7): an empty OWNER password unwinds /O
+        # to the real padded user password, which re-derives the key
+        recovered = recover_user_password(bytes(o), b"", r, length)
+        key = compute_file_key(bytes(o), p, id0, r, length,
+                               password=recovered,
+                               encrypt_metadata=enc_meta is not False)
+        expected_u = compute_u(key, id0, r)
+        match = (got_u[:16] == expected_u[:16] if r >= 3
+                 else got_u[:32] == expected_u[:32])
+    if not match:
         raise CutError("EncryptedDocument", None,
-                       "non-empty user password")
+                       "user and owner passwords both non-empty")
     return StandardDecryptor(key, mode=mode)

@@ -273,21 +273,29 @@ def build_pdf(page_contents: list[bytes | None], *,
             compute_u, hash_2b, object_key, object_key_aes, rc4,
         )
 
-        if encrypt == "aes-256":
-            # PDF 2.0 R6: the 32-byte file key is wrapped in /UE; /O and
-            # /OE are arbitrary on the user-password path
+        if encrypt in ("aes-256", "aes-256-owner"):
+            # PDF 2.0 R6: the 32-byte file key is wrapped in /UE (+/OE).
+            # The -owner variant sets a REAL user password (so the user
+            # path fails) with an EMPTY owner password - the other common
+            # decryptable case in crawls.
+            user_pwd = b"hunter2" if encrypt.endswith("owner") else b""
             file_key = bytes((i * 11 + 3) & 0xFF for i in range(32))
             vsalt, ksalt = b"vsalt678", b"ksalt678"
-            u = hash_2b(b"", vsalt) + vsalt + ksalt
-            ue = _aes_cbc_encrypt_nopad(hash_2b(b"", ksalt), b"\x00" * 16,
-                                        file_key)
+            u = hash_2b(user_pwd, vsalt) + vsalt + ksalt
+            ue = _aes_cbc_encrypt_nopad(hash_2b(user_pwd, ksalt),
+                                        b"\x00" * 16, file_key)
+            vso, kso = b"vsaltown", b"ksaltown"
+            o = hash_2b(b"", vso, u) + vso + kso
+            oe = _aes_cbc_encrypt_nopad(hash_2b(b"", kso, u),
+                                        b"\x00" * 16, file_key)
             b.encryptor = lambda oid, data: aes128_cbc_encrypt(
                 file_key, _hashlib.md5(b"iv%d" % oid).digest(), data)
             enc_id = b.reserve()
             b.set(enc_id, b"<</Filter/Standard/V 5/R 6/Length 256"
                   b"/CF<</StdCF<</CFM/AESV3/AuthEvent/DocOpen"
                   b"/Length 32>>>>/StmF/StdCF/StrF/StdCF"
-                  b"/O <" + (b"00" * 48) + b">/OE <" + (b"00" * 32) + b">"
+                  b"/O <" + o.hex().upper().encode() + b">"
+                  b"/OE <" + oe.hex().upper().encode() + b">"
                   b"/U <" + u.hex().upper().encode() + b">"
                   b"/UE <" + ue.hex().upper().encode() + b">"
                   b"/P -44/Perms <" + (b"00" * 16) + b">>>")
@@ -300,11 +308,21 @@ def build_pdf(page_contents: list[bytes | None], *,
         )
         import hashlib as _hashlib
 
+        from .crypt import compute_o
+
         r, v, bits = {"rc4-40": (2, 1, 40), "rc4-128": (3, 2, 128),
+                      "rc4-128-owner": (3, 2, 128),
                       "aes-128": (4, 4, 128)}[encrypt]
-        o = bytes((i * 7 + 13) & 0xFF for i in range(32))
+        # the -owner variant: real user password, empty owner password;
+        # /O is then a REAL Algorithm 3 wrap (not arbitrary bytes)
+        user_pwd = b"hunter2" if encrypt.endswith("owner") else b""
+        if user_pwd:
+            o = compute_o(user_pwd, b"", r, bits)
+        else:
+            o = bytes((i * 7 + 13) & 0xFF for i in range(32))
         p_val = -44
-        key = compute_file_key(o, p_val, FIXTURE_FILE_ID, r, bits)
+        key = compute_file_key(o, p_val, FIXTURE_FILE_ID, r, bits,
+                               password=user_pwd)
         u = compute_u(key, FIXTURE_FILE_ID, r)
         if encrypt == "aes-128":
             b.encryptor = lambda oid, data: aes128_cbc_encrypt(
@@ -562,6 +580,15 @@ def fixture_cases() -> list[dict]:
     # PDF 2.0 AES-256 (V5/R6): Algorithm 2.A/2.B file-key unwrap
     case("encrypted_aes256",
          build_pdf([_simple_content(lines)], flate=True, encrypt="aes-256"),
+         _expected_simple(lines), 1)
+
+    # real user password + EMPTY owner password: Algorithm 7 unwinds /O
+    case("encrypted_rc4_owner_path",
+         build_pdf([_simple_content(lines)], encrypt="rc4-128-owner"),
+         _expected_simple(lines), 1)
+
+    case("encrypted_aes256_owner_path",
+         build_pdf([_simple_content(lines)], encrypt="aes-256-owner"),
          _expected_simple(lines), 1)
 
     # R6 with a corrupted /U hash: rejected as a wrong password
