@@ -833,6 +833,34 @@ def q_sim_topk_ivf_indexed(spark, sf_dir):
 SQL_SIM_TOPK_IVF_INDEXED = SQL_SIM_TOPK_IVF
 
 
+def q_sim_topk_many(spark, sf_dir):
+    """Batch ANN: top-5 per query for THREE query vectors in one scan
+    (broadcast NL scoring + one narrow window shuffle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") <= 2)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    return sim.topk_cosine_many(emb.filter(F.col("vec_id") > 2), queries,
+                                k=5)
+
+
+SQL_SIM_TOPK_MANY = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id <= 2),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id > 2),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT qid, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # k = 2 shingles for the text->embedding bridge - mechanically parallel
 # to dedup.shingles(text, 2)
 _SH2_SQL = """
@@ -1022,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
         "sim_topk_ivf_indexed": q_sim_topk_ivf_indexed,
+        "sim_topk_many": q_sim_topk_many,
         "sim_pipeline_e2e": q_sim_pipeline_e2e,
         "multimodal_features": q_multimodal_features,
         "html_strip": q_html_strip,
@@ -1063,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_lsh": _lsh_oracle_sql(),
         "sim_topk_ivf": SQL_SIM_TOPK_IVF,
         "sim_topk_ivf_indexed": SQL_SIM_TOPK_IVF_INDEXED,
+        "sim_topk_many": SQL_SIM_TOPK_MANY,
         "sim_pipeline_e2e": SQL_SIM_PIPELINE_E2E,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         **_html_oracle_sql(),

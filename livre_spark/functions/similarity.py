@@ -57,6 +57,36 @@ def topk_cosine(embeddings: DataFrame, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+def topk_cosine_many(embeddings: DataFrame, queries: DataFrame,
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     qid_col: str = "qid",
+                     qvec_col: str = "qv") -> DataFrame:
+    """Batch ANN: top-k per query vector, many queries in ONE scan.
+
+    Plan shape: scan -> broadcast nested-loop join against the (small)
+    query set - an O(n*Q) scoring map, not a shuffle - then one window
+    shuffle of the NARROW (qid, id, cos) projection for the per-query
+    top-k.  Scale note: the window moves n*Q 24-byte rows; for large Q
+    or 100 TB inputs route each query through the materialized IVF index
+    instead (partition-pruned per query, topk_cosine_ivf_indexed).
+    """
+    from pyspark.sql.window import Window
+
+    scored = (embeddings
+              .crossJoin(F.broadcast(queries))
+              .select(F.col(qid_col),
+                      F.col(id_col),
+                      F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, "cos_sim",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = random.Random(seed)
