@@ -833,6 +833,63 @@ def q_sim_topk_ivf_indexed(spark, sf_dir):
 SQL_SIM_TOPK_IVF_INDEXED = SQL_SIM_TOPK_IVF
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): one user-keyed
+    shuffle, two window passes, exact integer-microsecond gap math."""
+    from livre_spark.operators.sessions import session_stats
+
+    events = _t(spark, sf_dir, "events")
+    return session_stats(events, gap_us=30 * 60 * 1_000_000)
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, us, cents,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sess AS (
+  SELECT user_id, us, cents,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """Semi-structured axis: JSON property extraction from the string
+    props column + grouped rollup (JVM get_json_object, no UDF)."""
+    events = _t(spark, sf_dir, "events")
+    return (events
+            .select(F.get_json_object("props", "$.k").cast("long")
+                    .alias("k"),
+                    "event_type",
+                    F.round(F.col("value") * 100, 0).cast("long")
+                    .alias("cents"))
+            .groupBy("k", "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("cents").alias("value_cents")))
+
+
+SQL_JSON_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_sim_topk_many(spark, sf_dir):
     """Batch ANN: top-5 per query for THREE query vectors in one scan
     (broadcast NL scoring + one narrow window shuffle)."""
@@ -1051,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": q_sim_topk_ivf,
         "sim_topk_ivf_indexed": q_sim_topk_ivf_indexed,
         "sim_topk_many": q_sim_topk_many,
+        "sessionize": q_sessionize,
+        "json_props": q_json_props,
         "sim_pipeline_e2e": q_sim_pipeline_e2e,
         "multimodal_features": q_multimodal_features,
         "html_strip": q_html_strip,
@@ -1093,6 +1152,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_ivf": SQL_SIM_TOPK_IVF,
         "sim_topk_ivf_indexed": SQL_SIM_TOPK_IVF_INDEXED,
         "sim_topk_many": SQL_SIM_TOPK_MANY,
+        "sessionize": SQL_SESSIONIZE,
+        "json_props": SQL_JSON_PROPS,
         "sim_pipeline_e2e": SQL_SIM_PIPELINE_E2E,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         **_html_oracle_sql(),

@@ -67,6 +67,9 @@ def build_session(app_name: str = "livre-spark", cores: str | int = "*",
                .config("spark.sql.parquet.compression.codec",
                        os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
                .config("spark.sql.adaptive.enabled", "true")
+               # NTZ timestamps bind to the session tz on cast; pin UTC
+               # so epoch math is deterministic across environments
+               .config("spark.sql.session.timeZone", "UTC")
                # byte-capped scan splits: the shuffle-free small-doc
                # path relies on these for balance (operators/skew.py).
                # 32 MiB measured best at local[32] (paired-fraction sweep:
