@@ -18,6 +18,7 @@ transactions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.checkpoint import append_manifest, filter_done
 from ..operators.extraction import extract_documents, pdf_magic_filter
@@ -101,6 +102,23 @@ def dedup_first_seen(pages_stream: DataFrame, url_col: str = "url",
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def windowed_page_counts(pages_stream: DataFrame,
+                         window: str = "10 minutes",
+                         ts_col: str = "warc_ts") -> DataFrame:
+    """Watermarked tumbling-window rollup - the standard late-data
+    pattern: the ``stream_pages`` watermark (1 day) bounds how long a
+    window's state lives; snapshots later than that are dropped rather
+    than growing state forever.  Pure built-in streaming aggregation
+    (window + count), no custom state."""
+    return (pages_stream
+            .groupBy(F.window(F.col(ts_col), window))
+            .agg(F.count("*").alias("n_pages"),
+                 F.approx_count_distinct("url").alias("n_urls"))
+            .select(F.col("window.start").alias("win_start"),
+                    F.col("window.end").alias("win_end"),
+                    "n_pages", "n_urls"))
 
 
 def stream_pages(spark: SparkSession, source_dir: str,

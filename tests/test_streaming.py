@@ -111,3 +111,28 @@ def test_dedup_first_seen_stateful(spark, tmp_path):
     assert set(rows) == {"u1", "u2", "u3"}
     for u in rows:
         assert rows[u]["n_snapshots"] == 1  # emitted on first sighting
+
+
+def test_windowed_page_counts(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over the page stream."""
+    from livre_spark.streaming import stream_pages, windowed_page_counts
+
+    src = str(tmp_path / "drop")
+    os.makedirs(src)
+    # two 10-minute windows: hours 0.0-0.1 (3 rows) and 1.0 (2 rows)
+    _write_batch(spark, tmp_path, src, "b1",
+                 [("u1", 0), ("u2", 0), ("u1", 0)])
+    _write_batch(spark, tmp_path, src, "b2", [("u3", 1), ("u4", 1)])
+
+    q = (windowed_page_counts(stream_pages(spark, src), window="10 minutes")
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("win_counts")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout=180)
+
+    rows = {r["win_start"].hour: r for r in
+            spark.sql("SELECT * FROM win_counts").collect()}
+    assert rows[0]["n_pages"] == 3
+    assert rows[0]["n_urls"] == 2  # u1 deduped by approx distinct
+    assert rows[1]["n_pages"] == 2
