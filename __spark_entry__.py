@@ -890,6 +890,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-sequence funnel: per user the earliest view, the earliest
+    click strictly after it, the earliest purchase strictly after that -
+    three narrow user-keyed aggregates chained by time predicates (no
+    window over the full table, no UDF).  Integer-microsecond timestamps
+    keep the oracle exact."""
+    events = _t(spark, sf_dir, "events")
+    e = events.select("user_id", F.col("event_type").alias("et"),
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                      .alias("us"))
+    v = (e.filter(F.col("et") == "view")
+         .groupBy("user_id").agg(F.min("us").alias("t_view")))
+    c = (e.filter(F.col("et") == "click").join(v, "user_id")
+         .filter(F.col("us") > F.col("t_view"))
+         .groupBy("user_id", "t_view").agg(F.min("us").alias("t_click")))
+    p = (e.filter(F.col("et") == "purchase").join(c, "user_id")
+         .filter(F.col("us") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("us").alias("t_purchase")))
+    return (v.join(c.select("user_id", "t_click"), "user_id", "left")
+            .join(p, "user_id", "left")
+            .select("user_id", "t_view", "t_click", "t_purchase"))
+
+
+SQL_FUNNEL = """
+WITH e AS (SELECT user_id, event_type AS et, epoch_us(ts) AS us
+           FROM events),
+v AS (SELECT user_id, min(us) AS t_view FROM e WHERE et = 'view'
+      GROUP BY user_id),
+c AS (SELECT e.user_id, v.t_view, min(us) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE et = 'click' AND us > t_view GROUP BY e.user_id, v.t_view),
+p AS (SELECT e.user_id, min(us) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE et = 'purchase' AND us > t_click GROUP BY e.user_id)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
 def q_sim_topk_many(spark, sf_dir):
     """Batch ANN: top-5 per query for THREE query vectors in one scan
     (broadcast NL scoring + one narrow window shuffle)."""
@@ -1110,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_many": q_sim_topk_many,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
+        "funnel": q_funnel,
         "sim_pipeline_e2e": q_sim_pipeline_e2e,
         "multimodal_features": q_multimodal_features,
         "html_strip": q_html_strip,
@@ -1154,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_many": SQL_SIM_TOPK_MANY,
         "sessionize": SQL_SESSIONIZE,
         "json_props": SQL_JSON_PROPS,
+        "funnel": SQL_FUNNEL,
         "sim_pipeline_e2e": SQL_SIM_PIPELINE_E2E,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         **_html_oracle_sql(),
