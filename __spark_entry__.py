@@ -9,8 +9,9 @@
                in integer cents; per-row float math (cosine etc.) is
                identical IEEE-754 on both engines and rounded to 6dp.
 
-Queries marked "rows-only" (no oracle entry) are genuinely non-SQL ops:
-the simhash bit-vote aggregate and the multimodal pandas-UDF features.
+Every registered query has a DuckDB twin (40 queries, 40 oracles);
+genuinely non-SQL ops (stateful streaming dedup, windowed streaming
+aggregation) live behind pytest pins instead of registry entries.
 """
 
 from __future__ import annotations
