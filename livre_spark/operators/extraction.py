@@ -60,7 +60,8 @@ _OUT_PA = pa.schema([
 
 
 def _extract_batches(batches: Iterator[pa.RecordBatch],
-                     cmap: bool = False) -> Iterator[pa.RecordBatch]:
+                     cmap: bool = False,
+                     strip_inline: bool = False) -> Iterator[pa.RecordBatch]:
     """mapInArrow body: (url, html) batches -> EXTRACTED_SCHEMA batches."""
     from pyspark import TaskContext
 
@@ -77,7 +78,8 @@ def _extract_batches(batches: Iterator[pa.RecordBatch],
                 result = {"text": "", "spans": [], "n_pages": 0,
                           "error": "NotAPdf", "parse_ms": 0.0}
             else:
-                result = extract_text(buf, cmap=cmap)
+                result = extract_text(buf, cmap=cmap,
+                                      strip_inline=strip_inline)
             cols["url"].append(url)
             cols["text"].append(result["text"])
             cols["n_pages"].append(result["n_pages"])
@@ -100,17 +102,21 @@ def _extract_batches(batches: Iterator[pa.RecordBatch],
         yield pa.RecordBatch.from_arrays(arrays, schema=_OUT_PA)
 
 
-def extract_documents(pages: DataFrame, cmap: bool = False) -> DataFrame:
+def extract_documents(pages: DataFrame, cmap: bool = False,
+                      strip_inline: bool = False) -> DataFrame:
     """Run the extraction kernel over a (url, html) DataFrame.
 
     Columns are pruned to exactly (url, html) before the UDF so Catalyst
     pushes the projection into the scan (ReadSchema stays 2 columns).
 
     ``cmap=True`` switches show-string decode to the opt-in /ToUnicode
-    CMap mode (pdf/cmap.py); the default stays reference-byte-identical.
+    CMap mode (pdf/cmap.py); ``strip_inline=True`` removes BI/ID/EI
+    inline-image spans pre-tokenization (pdf/inline.py).  The defaults
+    stay reference-byte-identical.
     """
     def body(batches):
-        return _extract_batches(batches, cmap=cmap)
+        return _extract_batches(batches, cmap=cmap,
+                                strip_inline=strip_inline)
 
     return pages.select("url", "html").mapInArrow(
         body, schema=EXTRACTED_SCHEMA)

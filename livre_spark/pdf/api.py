@@ -16,7 +16,8 @@ from .document import open_document
 from .errors import ParseError
 
 
-def extract_text(buf: bytes, cmap: bool = False) -> dict:
+def extract_text(buf: bytes, cmap: bool = False,
+                 strip_inline: bool = False) -> dict:
     """Parse one PDF byte stream end-to-end.
 
     Returns ``{text, spans, n_pages, error, parse_ms}`` where
@@ -33,8 +34,11 @@ def extract_text(buf: bytes, cmap: bool = False) -> dict:
 
     ``cmap=True`` (extension beyond the reference, see cmap.py) decodes
     show strings through each font's /ToUnicode CMap where one exists -
-    Type0/Identity-H glyph codes become readable Unicode.  The default
-    stays byte-identical to the reference heuristic.
+    Type0/Identity-H glyph codes become readable Unicode.
+    ``strip_inline=True`` (extension, see inline.py) removes BI/ID/EI
+    inline-image spans before tokenization, recovering text the binary
+    payload would otherwise poison.  The defaults stay byte-identical to
+    the reference heuristic.
     """
     t0 = time.perf_counter()
     text_parts: list[str] = []
@@ -52,6 +56,10 @@ def extract_text(buf: bytes, cmap: bool = False) -> dict:
             except ParseError as exc:
                 error = error or exc.code
                 continue
+            if strip_inline:
+                from .inline import strip_inline_images
+
+                content = strip_inline_images(content)
             cmaps = None
             if cmap:
                 try:

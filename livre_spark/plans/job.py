@@ -159,6 +159,7 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
                  dedup_snapshots: bool = True,
                  write_spans: bool = True,
                  cmap: bool = False,
+                 strip_inline: bool = False,
                  html_mode: str | None = None,
                  run_id: str | None = None) -> dict:
     """Execute the full pipeline; returns output locations + counts.
@@ -184,7 +185,8 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
     size_col = "n_bytes" if "n_bytes" in pages.columns else None
     pdf_pages = size_bucketed_repartition(pdf_magic_filter(pages),
                                           size_col=size_col)
-    extracted = extract_documents(pdf_pages, cmap=cmap)
+    extracted = extract_documents(pdf_pages, cmap=cmap,
+                                  strip_inline=strip_inline)
     if html_mode is not None:
         from ..functions.htmltext import looks_like_html
         from ..operators.extraction import _pdf_magic, extract_html_documents

@@ -33,6 +33,10 @@ def main() -> None:
     parser.add_argument("--cmap", action="store_true",
                         help="decode via /ToUnicode CMaps (extension; "
                              "default stays reference-byte-identical)")
+    parser.add_argument("--strip-inline-images", action="store_true",
+                        help="remove BI/ID/EI inline-image spans before "
+                             "tokenization (extension; recovers text on "
+                             "image-heavy pages)")
     parser.add_argument("--no-dedup", action="store_true")
     parser.add_argument("--html-mode", choices=["main", "strip"], default=None,
                         help="also extract non-PDF HTML rows (boilerplate "
@@ -59,6 +63,7 @@ def main() -> None:
                         dedup_snapshots=not args.no_dedup,
                         write_spans=not args.no_spans,
                         cmap=args.cmap,
+                        strip_inline=args.strip_inline_images,
                         html_mode=args.html_mode)
     print(info)
     spark.stop()

@@ -128,3 +128,28 @@ def test_asciihex_pdf_end_to_end():
         r = extract_text(build_pdf([_simple_content(lines)], **kwargs))
         assert r["error"] is None, (kwargs, r["error"])
         assert r["text"] == expected, kwargs
+
+
+def test_strip_inline_images_opt_in():
+    """BI/ID/EI spans poison the default tokenizer (contained error,
+    matching the reference); strip_inline=True recovers all the text."""
+    from livre_spark.pdf.api import extract_text
+    from livre_spark.pdf.genpdf import build_pdf
+    from livre_spark.pdf.inline import strip_inline_images
+
+    content = (b"BT /F1 12 Tf 72 720 Td (before) Tj ET\n"
+               b"BI /W 2 /H 2 /CS /RGB /BPC 8 ID \x00\x01\xfe\xff(\x9b\\ "
+               b"EI\nBT /F1 12 Tf 72 700 Td (after) Tj ET")
+    pdf = build_pdf([content])
+    r0 = extract_text(pdf)
+    assert r0["error"] is not None            # default: contained error
+    r1 = extract_text(pdf, strip_inline=True)
+    assert r1["error"] is None
+    assert r1["text"] == "\nbefore\nafter"
+
+    # tolerant edges: unterminated image, BI without ID
+    assert strip_inline_images(b"(a) Tj BI /W 1 ID \xff\xff") == b"(a) Tj  "
+    assert strip_inline_images(b"BI /W 1 /H 1") == b" "
+    # EI inside a text string is NOT an image terminator context
+    kept = strip_inline_images(b"BT (no EI here) Tj ET")
+    assert kept == b"BT (no EI here) Tj ET"
