@@ -987,7 +987,11 @@ def q_sim_pipeline_e2e(spark, sf_dir):
                         sim.embed_text(F.col("text"), dim=16, k=2).alias("v"))
             .repartition(n_part, "doc_id"))
     min_id = docs.agg(F.min("doc_id")).first()[0]
-    qv = vecs.filter(F.col("doc_id") == min_id).first()["v"]
+    # embed ONLY the query row (the barrier above would otherwise force
+    # a full-corpus embed just to fetch one vector - measured 2x cost)
+    qv = (docs.filter(F.col("doc_id") == min_id)
+          .select(sim.embed_text(F.col("text"), dim=16, k=2).alias("v"))
+          .first()["v"])
     q = F.array(*[F.lit(int(x)) for x in qv])
     return (vecs.filter(F.col("doc_id") != min_id)
             .filter(sim.norm(F.col("v")) > 0)

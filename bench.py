@@ -44,6 +44,8 @@ HEADLINE = [
     "topk_orders", "explode_tokens", "token_count", "quality_score",
     "dedup_minhash_lsh", "sim_topk", "sim_near_dup", "dedup_simhash",
     "dedup_simhash_pairs", "sim_topk_lsh", "html_strip", "html_main",
+    "sessionize", "json_props", "funnel", "sim_topk_many",
+    "sim_pipeline_e2e",
 ]
 
 

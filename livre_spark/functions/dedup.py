@@ -26,19 +26,25 @@ from .textstats import md5_long
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles as an array column (JVM higher-order functions).
 
-    k=1 is the words array itself - value-identical to the general
-    construction (``split`` always yields >= 1 element, so the n<k guard
-    can't fire, and a 1-slice concat_ws is the element) but skips the
-    per-word ``slice``+``concat_ws``, which dominated the simhash
-    headline query (measured 5.2s -> 2.25s at sf0.1/8 cores)."""
+    k=1 is the words array itself.  k>=2 builds shingles by zipping k-1
+    SHIFTED copies of the words array (``zip_with`` + ``slice`` of the
+    whole array) instead of a per-index ``slice``+``concat_ws`` - the
+    per-element slice allocated a fresh array per shingle and dominated
+    whole queries (measured: k=1 fast path 5.2s -> 2.25s on simhash;
+    k=2 construction 4.1s -> see zip-shift timing in the commit).  The
+    zipped tail elements (null-padded, concat_ws skips nulls) are
+    dropped by the final length-(n-k+1) slice, so values are identical
+    to the index construction the DuckDB twins mirror."""
     words = F.split(F.trim(F.lower(text)), r"\s+")
     if k == 1:
         return words
     n = F.size(words)
+    acc = words
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(words, j + 1, n),
+                         lambda a, b: F.concat_ws(" ", a, b))
     return F.when(n < k, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(k)),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))))
+        F.slice(acc, 1, n - F.lit(k) + 1))
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
