@@ -30,8 +30,9 @@ def shingles(text: Column, k: int = 3) -> Column:
     SHIFTED copies of the words array (``zip_with`` + ``slice`` of the
     whole array) instead of a per-index ``slice``+``concat_ws`` - the
     per-element slice allocated a fresh array per shingle and dominated
-    whole queries (measured: k=1 fast path 5.2s -> 2.25s on simhash;
-    k=2 construction 4.1s -> see zip-shift timing in the commit).  The
+    whole queries (measured at sf0.1/8c: k=1 fast path 5.2s -> 2.25s on
+    simhash; zip-shift k=2 construction 4.10s -> 0.63s, lifting
+    dedup_minhash_lsh 11.2s -> 2.6s end-to-end).  The
     zipped tail elements (null-padded, concat_ws skips nulls) are
     dropped by the final length-(n-k+1) slice, so values are identical
     to the index construction the DuckDB twins mirror."""
