@@ -670,17 +670,22 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 
 _ND_BANDS = 4          # banded sign-LSH for the bucketed near-dup query
 _ND_PLANES_PER_BAND = 2
+_ND_MAX_BUCKET_FACTOR = 3.0   # skew guard: drop buckets > 3x uniform share
 
 
 def q_sim_near_dup(spark, sf_dir):
     """Near-dup pairs, banded-LSH-bucketed (the 100 TB path): candidates
     from a (band, chunk) equi-join - a hash join, never a cross join -
     then exact cosine on the candidates (~0.89 recall vs the exact twin
-    at this threshold)."""
+    at this threshold).  The scale-free skew cap is ACTIVE (drop buckets
+    holding > 3x the uniform n/2^planes share, broadcast anti-join);
+    uniform data is untouched at any n, degenerate clusters are bounded.
+    """
     emb = _t(spark, sf_dir, "embeddings")
     return sim.cosine_near_dup_pairs_lsh(
         emb, dim=64, threshold=0.45,
-        bands=_ND_BANDS, planes_per_band=_ND_PLANES_PER_BAND, seed=42)
+        bands=_ND_BANDS, planes_per_band=_ND_PLANES_PER_BAND, seed=42,
+        max_bucket_factor=_ND_MAX_BUCKET_FACTOR)
 
 
 def _near_dup_lsh_sql() -> str:
@@ -700,11 +705,22 @@ def _near_dup_lsh_sql() -> str:
         f"SELECT vec_id AS id, {b} AS band, ({chunk('embedding', b)}) AS chunk"
         f" FROM embeddings"
         for b in range(_ND_BANDS))
+    n_buckets = 2 ** _ND_PLANES_PER_BAND
     return f"""
 WITH buckets AS ({band_rows}),
+hot AS (
+  SELECT band, chunk FROM (
+    SELECT band, chunk, count(*) AS n_ids,
+           sum(count(*)) OVER (PARTITION BY band) AS band_total
+    FROM buckets GROUP BY band, chunk)
+  WHERE n_ids > band_total * {_ND_MAX_BUCKET_FACTOR} / {n_buckets}),
+pruned AS (
+  SELECT b.* FROM buckets b
+  LEFT JOIN hot h ON b.band = h.band AND b.chunk = h.chunk
+  WHERE h.band IS NULL),
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
-  FROM buckets l JOIN buckets r
+  FROM pruned l JOIN pruned r
     ON l.band = r.band AND l.chunk = r.chunk AND l.id < r.id)
 SELECT id_a, id_b,
        round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim

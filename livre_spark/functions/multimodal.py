@@ -147,7 +147,14 @@ def _decode_ppm(buf: bytes) -> tuple[int, int, bytes]:
     width, height, maxval = fields
     if not (0 < maxval < 256):
         raise NotImplementedError(f"PPM maxval {maxval}")
-    i += 1  # exactly one whitespace byte after maxval
+    # exactly one whitespace byte after maxval per spec, but writers on
+    # Windows emit CRLF - tolerate the pair; anything non-whitespace is a
+    # detected error, not a one-byte raster shift
+    if i >= n or buf[i] not in b" \t\r\n":
+        raise ImageDecodeError("missing whitespace after PPM maxval")
+    if buf[i : i + 2] == b"\r\n":
+        i += 1
+    i += 1
     samples = buf[i : i + width * height * ch]
     if len(samples) != width * height * ch:
         raise ImageDecodeError("truncated PPM pixels")

@@ -18,6 +18,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -274,6 +275,8 @@ def embed_text(text: Column, dim: int = 16, k: int = 2) -> Column:
 def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
                               threshold: float = 0.95, bands: int = 4,
                               planes_per_band: int = 2, seed: int = 42,
+                              max_bucket: int | None = None,
+                              max_bucket_factor: float | None = None,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH - the scale path.
@@ -285,6 +288,31 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
     ``1 - (1 - p^planes_per_band)^bands`` with ``p = 1 - theta/pi``
     (~0.89 at cos 0.45 with 4x2) - tune bands up / planes down for more
     recall, the reverse for smaller buckets.
+
+    Sizing at scale: a band has only ``2^planes_per_band`` buckets, so
+    uniform data puts ``n / 2^planes_per_band`` ids in EVERY bucket and
+    the self-join is O(n^2 / 2^planes_per_band) - the cure for uniform
+    mass is ``planes_per_band ~ log2(n) - log2(target_bucket)`` (e.g.
+    ~20 planes for 10^9 rows and ~1000-id buckets), NOT a cap.  The caps
+    below bound the *skew* a plane count cannot fix (degenerate/
+    all-zero embedding clusters piling into one bucket):
+
+    ``max_bucket``: drop (band, chunk) buckets holding more than this
+    many ids before the self-join - the identical broadcast anti-join
+    bound as ``simhash_hamming_pairs``.  Absolute, so right when the
+    caller knows the bucket budget.
+
+    ``max_bucket_factor``: drop buckets holding more than
+    ``factor * n / 2^planes_per_band`` ids (factor x the uniform share).
+    Scale-free skew guard: on uniform data it drops nothing at ANY n,
+    while a degenerate cluster exceeding factor x its fair share is
+    excluded.  The per-band total (= n) comes from a window over the
+    already-aggregated bucket counts - no second scan, no scalar join.
+
+    Both caps report a deterministic SUBSET: a pair is missed only if
+    every band it agrees on is hot (same trade as max_df in
+    ``ngram_jaccard_pairs``).  The hot list is tiny, so the exclusion is
+    a broadcast anti-join, not a shuffle.
 
     Plan shape: one explode (x bands) of (id, band, chunk), one shuffle
     on the bucket key, distinct candidate id-pairs, then two broadcast-or
@@ -304,6 +332,22 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
                        F.explode(F.array(*band_structs)).alias("bb"))
                .select("id", F.col("bb.band").alias("band"),
                        F.col("bb.chunk").alias("chunk")))
+    if max_bucket is not None or max_bucket_factor is not None:
+        counts = (buckets.groupBy("band", "chunk")
+                  .agg(F.count("*").alias("n_ids")))
+        hot_cond = F.lit(False)
+        if max_bucket is not None:
+            hot_cond = hot_cond | (F.col("n_ids") > max_bucket)
+        if max_bucket_factor is not None:
+            # each id appears exactly once per band, so the band total IS
+            # n; the window runs over <= bands * 2^planes aggregate rows
+            band_total = F.sum("n_ids").over(Window.partitionBy("band"))
+            share = band_total * max_bucket_factor / (2 ** planes_per_band)
+            counts = counts.withColumn("uniform_cap", share)
+            hot_cond = hot_cond | (F.col("n_ids") > F.col("uniform_cap"))
+        hot = counts.filter(hot_cond).select("band", "chunk")
+        buckets = buckets.join(F.broadcast(hot), ["band", "chunk"],
+                               "left_anti")
     cand = (buckets.alias("l")
             .join(buckets.alias("r"),
                   [F.col("l.band") == F.col("r.band"),

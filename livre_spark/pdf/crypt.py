@@ -4,10 +4,12 @@ The reference rejects encrypted documents outright (no ``/Encrypt``
 handling anywhere; the ``Crypt`` stream filter is in its rejection list,
 filtering.rs:50-53).  A meaningful fraction of crawl PDFs is encrypted
 with an EMPTY user password - readable by any viewer - so this module
-implements the RC4 standard security handler (PDF 32000-1 7.6.3,
-algorithms 2/4/5/7): /V 1-2, /R 2-3, 40-128-bit keys.  AES (/V 4-5) and
-non-empty passwords raise a contained ``CutError`` and the document
-lands in the error column, exactly like the reference's rejection.
+implements the standard security handler (PDF 32000-1 7.6.3): RC4
+/V 1-2 /R 2-3 (40-128-bit keys), AESV2 (/V 4 /R 4, AES-128-CBC) and
+AESV3 (/V 5 /R 6, AES-256 with Algorithm 2.A/2.B key unwrap), each for
+an empty USER or empty OWNER password.  Other schemes and documents
+where both passwords are non-empty raise a contained ``CutError`` and
+the document lands in the error column, like the reference's rejection.
 
 Scope: stream payloads are decrypted (that is the text-extraction path);
 strings inside document dictionaries are left as stored - no extraction
@@ -60,7 +62,10 @@ def compute_file_key(o: bytes, p: int, id0: bytes, r: int,
     h = hashlib.md5()
     h.update(padded)
     h.update(o[:32])
-    h.update(struct.pack("<i", p))
+    # /P is signed 32-bit in the spec but many writers store it as the
+    # unsigned equivalent (e.g. 4294967292 for -4); mask before packing -
+    # two's-complement bytes are identical for negative p
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(id0)
     if r >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")
@@ -516,6 +521,7 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
     v = raw.pop_and_parse(b"V", ob.parse_unsigned) or 0
     r = raw.pop_and_parse(b"R", ob.parse_unsigned) or 0
     mode = "rc4"
+    cf_length = None
     if v in (4, 5):
         # crypt-filter container: /CF <</StdCF <</CFM ...>>>> + /StmF
         cf = raw.pop_and_parse(b"CF", ob.parse_dict_object) or {}
@@ -526,6 +532,14 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
         stdcf = cf.get(b"StdCF") if isinstance(cf, dict) else None
         cfm = stdcf.get(b"CFM") if isinstance(stdcf, dict) else None
         cfm = bytes(cfm) if cfm is not None else b"?"
+        # spec permits the key length to live only inside /CF /StdCF for
+        # V4 (bytes there, bits at top level; some writers put bits in
+        # both places - values <= 40 must be bytes)
+        cf_len = stdcf.get(b"Length") if isinstance(stdcf, dict) else None
+        if isinstance(cf_len, int):
+            cf_length = cf_len * 8 if cf_len <= 40 else cf_len
+        else:
+            cf_length = None
         if v == 5 and r == 6:
             # PDF 2.0 AES-256 (Algorithm 2.A/2.B): the file key comes
             # from /UE, no per-object derivation
@@ -556,7 +570,7 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
             raise CutError("EncryptedDocument", None, f"V={v} R={r}")
     elif v not in (1, 2) or r not in (2, 3):
         raise CutError("EncryptedDocument", None, f"V={v} R={r}")
-    length = raw.pop_and_parse(b"Length", ob.parse_unsigned) or 40
+    length = raw.pop_and_parse(b"Length", ob.parse_unsigned) or cf_length or 40
     o = raw.pop_and_parse(b"O", ob.parse_string)
     u = raw.pop_and_parse(b"U", ob.parse_string)
     p = raw.pop_and_parse(b"P", ob.parse_signed)

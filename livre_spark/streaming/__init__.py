@@ -17,6 +17,7 @@ transactions.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -172,10 +173,13 @@ def start_extraction_stream(spark: SparkSession, source_dir: str,
          .withColumn("run_id", F.lit(run_id))
          .write.mode("append").partitionBy("run_id").parquet(text_path))
         part_dir = os.path.join(text_path, f"run_id={run_id}")
-        if not os.path.isdir(part_dir):  # empty batch wrote no partition
+        # an empty batch writes no partition directory; probe by reading
+        # rather than os.path (which is always False on HDFS/S3 paths)
+        try:
+            written = (spark.read.option("basePath", text_path)
+                       .parquet(part_dir))
+        except AnalysisException:
             return
-        written = (spark.read.option("basePath", text_path)
-                   .parquet(part_dir))
         append_manifest(written, checkpoint_dir)
 
     stream = stream_pages(spark, source_dir,

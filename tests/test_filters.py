@@ -344,3 +344,45 @@ def test_r6_key_unwrap_roundtrip():
         r6_file_key(b"\x00" * 48, ue)  # corrupted hash = wrong password
     # a non-empty password hashes differently
     assert hash_2b(b"hunter2", vsalt) != u[:32]
+
+
+def test_build_decryptor_unsigned_p():
+    """Many writers store /P as the unsigned 32-bit twin of the signed
+    permission flags (e.g. 4294967252 for -44); the key derivation must
+    mask rather than raise struct.error."""
+    from livre_spark.pdf.crypt import (
+        build_decryptor, compute_file_key, compute_u,
+    )
+
+    id0 = b"\xde\xad\xbe\xef"
+    o = bytes(range(32))
+    key = compute_file_key(o, -44, id0, 3, 128)
+    u = compute_u(key, id0, 3)
+    enc = (b"<</Filter/Standard/V 2/R 3/Length 128"
+           b"/O <" + o.hex().encode() + b">"
+           b"/U <" + u.hex().encode() + b">"
+           b"/P 4294967252>>")
+    dec = build_decryptor(enc, 0, {}, (id0,))
+    assert dec.file_key == key and dec.mode == "rc4"
+    # and the two /P spellings derive the SAME key
+    assert compute_file_key(o, 4294967252, id0, 3, 128) == key
+
+
+def test_build_decryptor_cf_length_fallback():
+    """V4 permits the key length to live only in /CF /StdCF /Length
+    (bytes); without the fallback a 5-byte default key fails /U."""
+    from livre_spark.pdf.crypt import (
+        build_decryptor, compute_file_key, compute_u,
+    )
+
+    id0 = b"\xde\xad\xbe\xef"
+    o = bytes(range(32))
+    key = compute_file_key(o, -44, id0, 4, 128)
+    u = compute_u(key, id0, 4)
+    enc = (b"<</Filter/Standard/V 4/R 4"
+           b"/CF<</StdCF<</CFM/AESV2/Length 16>>>>/StmF/StdCF"
+           b"/O <" + o.hex().encode() + b">"
+           b"/U <" + u.hex().encode() + b">"
+           b"/P -44>>")
+    dec = build_decryptor(enc, 0, {}, (id0,))
+    assert dec.mode == "aesv2" and dec.file_key == key

@@ -198,6 +198,32 @@ def test_cosine_near_dup_pairs_lsh_recall(spark, embeddings):
     assert (0, 1) in lsh              # the near-identical pair is found
 
 
+def test_cosine_near_dup_lsh_bucket_caps(spark):
+    """Both bucket caps bound a degenerate cluster: 40 identical vectors
+    pile into one bucket per band (~87% of each band), far above 3x the
+    uniform share AND an absolute cap, so their pairs are excluded while
+    the well-spread near-dup pair survives (its buckets stay cold)."""
+    rows = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(100, 140)]
+    rows += [(0, [1.0, 0.05, 0.0, 0.0]), (1, [1.0, 0.0, 0.05, 0.0]),
+             (2, [0.0, -1.0, 0.3, 0.0]), (3, [-1.0, 0.0, 0.0, 0.3]),
+             (4, [0.0, 0.3, -1.0, 0.0]), (5, [0.3, 0.0, 0.0, -1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def pairs(**caps):
+        return {(r["id_a"], r["id_b"]) for r in
+                sim.cosine_near_dup_pairs_lsh(
+                    df, dim=4, threshold=0.95, bands=4,
+                    planes_per_band=2, **caps).collect()}
+
+    uncapped = pairs()
+    hot_pairs = {(a, b) for a, b in uncapped if a >= 100 and b >= 100}
+    assert len(hot_pairs) == 40 * 39 // 2    # the degenerate cluster
+    for capped in (pairs(max_bucket_factor=3.0), pairs(max_bucket=30)):
+        assert not any(a >= 100 and b >= 100 for a, b in capped)
+        assert capped <= uncapped             # caps never invent pairs
+        assert (0, 1) in capped               # cold-bucket pair survives
+
+
 def test_ivf_indexed_search_partition_pruned(spark, tmp_path):
     """The materialized IVF index search reads ONLY the probed cells'
     partitions (PartitionFilters in the scan) and returns the same top-k

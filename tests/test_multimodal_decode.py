@@ -109,3 +109,18 @@ def test_spark_real_decode(spark):
     assert "NotImplementedError" in got[4]["error"]  # contained, row kept
     assert got[5]["error"] is not None
     assert got[5]["features"] is None
+
+
+def test_ppm_crlf_after_maxval():
+    """Windows writers emit CRLF after maxval; the raster must not shift
+    by one byte (silent corruption), and non-whitespace is a detected
+    error rather than a skipped byte."""
+    w, h = 6, 3
+    pixels = _gradient(w * h * 3)
+    buf = encode_ppm(w, h, pixels)
+    crlf = buf.replace(b"255\n", b"255\r\n", 1)
+    gw, gh, feats = decode_image(crlf)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(pixels)
+    with pytest.raises(ImageDecodeError):
+        decode_image(b"P6\n6 3 255x" + pixels)
