@@ -990,18 +990,20 @@ _SH2_SQL = """
 
 def q_sim_pipeline_e2e(spark, sf_dir):
     """End-to-end text->vector->ANN composition: documents.text ->
-    hashing-trick TF embedding (similarity.embed_text, pure Column
-    expressions) -> cosine top-k against the lowest-doc_id document.
+    hashing-trick TF embedding (similarity.embed_text_table: explode ->
+    map-side-combined (doc, bucket) count -> dense assembly, O(shingles
+    + dim) per doc vs the Column fold's O(shingles x dim) - 5x faster
+    at dim 16, 19x at dim 256) -> cosine top-k against the lowest-doc_id
+    document.
 
     Integer TF counts make every f64 fold exact on both engines, so the
-    full pipeline is hash-stable.  The repartition is the usual
-    materialization barrier: without it CollapseProject re-inlines the
-    embedding fold into dot, norm and the zero-norm filter (3x work)."""
+    full pipeline is hash-stable.  The groupBy inside the table op is
+    also the materialization barrier (the old explicit repartition is
+    gone): the embedding is computed once, not re-inlined into dot/norm/
+    filter by CollapseProject."""
     docs = _t(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    vecs = (docs.select("doc_id",
-                        sim.embed_text(F.col("text"), dim=16, k=2).alias("v"))
-            .repartition(n_part, "doc_id"))
+    vecs = (sim.embed_text_table(docs, dim=16, k=2)
+            .withColumnRenamed("embedding", "v"))
     min_id = docs.agg(F.min("doc_id")).first()[0]
     # embed ONLY the query row (the barrier above would otherwise force
     # a full-corpus embed just to fetch one vector - measured 2x cost)

@@ -78,6 +78,14 @@ def build_session(app_name: str = "livre-spark", cores: str | int = "*",
                # per-task overhead dominates below it, tail imbalance above
                .config("spark.sql.files.maxPartitionBytes", os.environ.get(
                    "SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 << 20)))
+               # task-granularity floor: without it a corpus of
+               # ~cores x maxPartitionBytes scans as EXACTLY one task per
+               # core (Spark's default minPartitionNum = cores), so one
+               # heavy-tail straggler gates 1/cores of the stage.  4
+               # waves lets the scheduler back-fill behind stragglers;
+               # the byte cap above still bounds splits for big corpora
+               .config("spark.sql.files.minPartitionNum", os.environ.get(
+                   "SPARK_GRAFT_MIN_PARTITION_NUM", str(4 * n)))
                .config("spark.driver.memory", os.environ.get(
                    "SPARK_GRAFT_DRIVER_MEM", "8g"))
                .config("spark.ui.enabled", "false")

@@ -224,6 +224,24 @@ def test_cosine_near_dup_lsh_bucket_caps(spark):
         assert (0, 1) in capped               # cold-bucket pair survives
 
 
+@pytest.mark.parametrize("dim", [16, 256])
+def test_embed_text_table_matches_column_fold(spark, dim):
+    """The table-op embedding (the dim>=256 scale path: explode ->
+    map-side-combined count -> map assembly) is value-identical to the
+    Column fold at any dim, including the all-zero empty-text row."""
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "pack my box with five dozen liquor jugs"),
+            (2, ""), (3, "a b"), (4, "the quick brown fox")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fold = {r["doc_id"]: r["v"] for r in df.select(
+        "doc_id", sim.embed_text(F.col("text"), dim=dim, k=2).alias("v")
+    ).collect()}
+    table = {r["doc_id"]: r["embedding"] for r in
+             sim.embed_text_table(df, dim=dim, k=2).collect()}
+    assert table == fold
+    assert table[2] == [0] * dim          # empty text -> zero vector
+
+
 def test_ivf_indexed_search_partition_pruned(spark, tmp_path):
     """The materialized IVF index search reads ONLY the probed cells'
     partitions (PartitionFilters in the scan) and returns the same top-k
