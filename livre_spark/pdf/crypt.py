@@ -11,10 +11,13 @@ an empty USER or empty OWNER password.  Other schemes and documents
 where both passwords are non-empty raise a contained ``CutError`` and
 the document lands in the error column, like the reference's rejection.
 
-Scope: stream payloads are decrypted (that is the text-extraction path);
-strings inside document dictionaries are left as stored - no extraction
-surface reads them.  XRef streams and the /Encrypt dictionary itself are
-never encrypted per spec and are parsed before the handler exists.
+Scope: stream payloads are decrypted (the text-extraction path), and
+string objects are decrypted on the surfaces that read them -
+``Document.info()`` routes every /Info string through
+``decrypt_string`` (the /StrF filter; /Identity honored) so metadata
+queries never silently read ciphertext.  XRef streams and the /Encrypt
+dictionary itself are never encrypted per spec and are parsed before
+the handler exists.
 """
 
 from __future__ import annotations
@@ -478,19 +481,42 @@ class StandardDecryptor:
     """Empty-user-password decryptor for one document.
 
     ``mode``: ``"rc4"`` (V1-2), ``"aesv2"`` (V4, per-object MD5+sAlT
-    keys), or ``"aesv3"`` (V5/R6, the 32-byte file key used directly)."""
+    keys), or ``"aesv3"`` (V5/R6, the 32-byte file key used directly).
 
-    def __init__(self, file_key: bytes, mode: str = "rc4"):
+    ``string_mode`` is the /StrF crypt filter's algorithm for V4/V5
+    documents (``"identity"`` = strings stay plaintext while streams are
+    encrypted, a combination some writers use for searchability); None
+    means strings use the same algorithm as streams - the V<4 behavior
+    and the overwhelmingly common V4/V5 case (/StrF /StdCF)."""
+
+    def __init__(self, file_key: bytes, mode: str = "rc4",
+                 string_mode: str | None = None):
         self.file_key = file_key
         self.mode = mode
+        self.string_mode = mode if string_mode is None else string_mode
 
-    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        if self.mode == "aesv3":
+    def _apply(self, mode: str, num: int, gen: int, data: bytes) -> bytes:
+        if mode == "identity":
+            return data
+        if mode == "aesv3":
             return aes128_cbc_decrypt(self.file_key, data)
-        if self.mode == "aesv2":
+        if mode == "aesv2":
             return aes128_cbc_decrypt(
                 object_key_aes(self.file_key, num, gen), data)
         return rc4(object_key(self.file_key, num, gen), data)
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        """Stream payload decryption (the /StmF filter)."""
+        return self._apply(self.mode, num, gen, data)
+
+    def decrypt_string(self, num: int, gen: int, data: bytes) -> bytes:
+        """String-object decryption (the /StrF filter).
+
+        Same per-object key derivation as streams (PDF 32000-1 7.6.2
+        applies Algorithm 1 to both); only the filter *selection* can
+        differ (/StrF vs /StmF).  ``data`` is the already-unescaped
+        literal/hex string payload - ciphertext in an encrypted doc."""
+        return self._apply(self.string_mode, num, gen, data)
 
 
 def _parse_encrypt_dict(buf: bytes, pos: int, xrefs: dict) -> ob.RawDict:
@@ -521,6 +547,7 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
     v = raw.pop_and_parse(b"V", ob.parse_unsigned) or 0
     r = raw.pop_and_parse(b"R", ob.parse_unsigned) or 0
     mode = "rc4"
+    string_mode = None
     cf_length = None
     if v in (4, 5):
         # crypt-filter container: /CF <</StdCF <</CFM ...>>>> + /StmF
@@ -529,6 +556,15 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
         if stmf is not None and bytes(stmf) != b"StdCF":
             raise CutError("EncryptedDocument", None,
                            f"StmF {bytes(stmf)!r}")
+        # /StrF selects the STRING filter independently; /Identity means
+        # strings are plaintext while streams are encrypted.  Anything
+        # other than Identity/StdCF is an unsupported custom filter.
+        strf = raw.pop_and_parse(b"StrF", ob.parse_name)
+        if strf is not None and bytes(strf) == b"Identity":
+            string_mode = "identity"
+        elif strf is not None and bytes(strf) != b"StdCF":
+            raise CutError("EncryptedDocument", None,
+                           f"StrF {bytes(strf)!r}")
         stdcf = cf.get(b"StdCF") if isinstance(cf, dict) else None
         cfm = stdcf.get(b"CFM") if isinstance(stdcf, dict) else None
         cfm = bytes(cfm) if cfm is not None else b"?"
@@ -553,14 +589,15 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
                 raise CutError("EncryptedDocument", None, "missing U/UE")
             try:
                 return StandardDecryptor(
-                    r6_file_key(bytes(u5), bytes(ue)), mode="aesv3")
+                    r6_file_key(bytes(u5), bytes(ue)), mode="aesv3",
+                    string_mode=string_mode)
             except CutError:
                 # user password set but OWNER password empty: unwrap /OE
                 if o5 is None or oe is None:
                     raise
                 return StandardDecryptor(
                     r6_owner_file_key(bytes(o5), bytes(oe), bytes(u5)),
-                    mode="aesv3")
+                    mode="aesv3", string_mode=string_mode)
         if v == 4 and r == 4:
             if cfm == b"AESV2":
                 mode = "aesv2"
@@ -597,4 +634,4 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
     if not match:
         raise CutError("EncryptedDocument", None,
                        "user and owner passwords both non-empty")
-    return StandardDecryptor(key, mode=mode)
+    return StandardDecryptor(key, mode=mode, string_mode=string_mode)

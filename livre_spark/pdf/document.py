@@ -14,7 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from . import lex, objects as ob, xref as xr
-from .errors import ParseError
+from .errors import CutError, ParseError
 
 _PAGE_LAYOUTS = {b"SinglePage", b"OneColumn", b"TwoColumnLeft",
                  b"TwoColumnRight", b"TwoPageLeft", b"TwoPageRight"}
@@ -255,6 +255,30 @@ class Document:
                 result.extend(self._list_pages(element))
         return result
 
+    def info(self) -> dict[str, object] | None:
+        """Decoded document-information dictionary, or None when absent.
+
+        Beyond-reference extension (the reference never reads /Info).
+        String values are decrypted through the per-object /StrF key for
+        encrypted documents - without this a metadata query would
+        silently read ciphertext - then decoded with the reference's
+        UTF-16BE/Latin-1 heuristic.  Non-string values parse as plain
+        objects; unparseable entries are dropped (the Map<T> discipline,
+        map.rs:204-216).  The usual shape is an indirect reference; an
+        inline trailer dict (rare) is parsed without decryption, since
+        strings outside any indirect object are never encrypted per
+        PDF 32000-1 7.6.2.
+        """
+        pos = self.trailer.info_pos
+        if pos is None:
+            return None
+        try:
+            ref, _ = ob.parse_reference(self.buf, pos)
+        except ParseError:
+            value, _ = _info_dict_parser(self, self.buf, pos)
+            return value
+        return self.build(ref, _info_dict_parser)
+
     def build_content(self, page: Page) -> bytes:
         """Concatenate all decoded /Contents streams, no separator
         (pages.rs:273-291)."""
@@ -358,6 +382,46 @@ def _doc_decrypt(doc: Document):
         return None
     num, gen = doc._current_ref
     return lambda data: doc.decryptor.decrypt(num, gen, data)
+
+
+def _info_dict_parser(doc: Document, buf: bytes, pos: int):
+    """/Info dict -> {key: decoded value}, strings decrypted per-object.
+
+    A string value's key is that of the indirect object CONTAINING it
+    (PDF 32000-1 7.6.2): inline strings use the /Info object's own id
+    (doc._current_ref, set by Document.build), and an indirect string
+    value resolves through Document.build so it gets the target's id.
+    """
+    raw, p = ob.parse_raw_dict(buf, pos)
+    out: dict[str, object] = {}
+    for key, (s, _e) in raw.entries.items():
+        name = key.decode("latin-1")
+        try:
+            ref, _ = ob.parse_reference(buf, s)
+        except ParseError:
+            ref = None
+        try:
+            if ref is not None:
+                out[name] = doc.build(ref, _info_value_parser)
+            else:
+                out[name], _ = _info_value_parser(doc, buf, s)
+        except (ParseError, CutError):
+            pass  # drop-unparseable, Map<T> discipline
+    return out, p
+
+
+def _info_value_parser(doc: Document, buf: bytes, pos: int):
+    """One /Info value: a string (decrypted via the owning object's key)
+    or any plain object."""
+    try:
+        pdf_s, p = ob.parse_string(buf, pos)
+    except ParseError:
+        return ob.parse_object(buf, pos)
+    payload = bytes(pdf_s)
+    if doc.decryptor is not None and doc._current_ref is not None:
+        num, gen = doc._current_ref
+        payload = doc.decryptor.decrypt_string(num, gen, payload)
+    return ob.decode_pdf_string(payload), p
 
 
 def _stream_content_parser(doc: Document, buf: bytes, pos: int):

@@ -248,7 +248,8 @@ def build_pdf(page_contents: list[bytes | None], *,
               a85: bool = False, rle: bool = False, lzw: bool = False,
               nested_tree: bool = False, contents_array: bool = False,
               use_objstm: bool = False, xref_predictor: bool = False,
-              encrypt: str | None = None) -> bytes:
+              encrypt: str | None = None,
+              info: dict[str, str] | None = None) -> bytes:
     """Assemble a document whose pages carry the given content streams.
 
     ``None`` page content -> page without /Contents (empty page).
@@ -343,6 +344,30 @@ def build_pdf(page_contents: list[bytes | None], *,
               + b"/U <" + u.hex().upper().encode() + b">"
               + b"/P " + str(p_val).encode() + b">>")
         extra_trailer = b"/Encrypt " + str(enc_id).encode() + b" 0 R"
+
+    if info:
+        # document-information dictionary; string payloads are encrypted
+        # under the /Info object's OWN id (PDF 32000-1 7.6.2 - a string
+        # uses the key of the indirect object containing it)
+        info_id = b.reserve()
+        parts = [b"<<"]
+        for k, v in info.items():
+            parts.append(b"/" + k.encode("latin-1") + b" ")
+            latin1 = (all(ord(c) <= 0xFF for c in v)
+                      and not v.startswith("\xfe\xff"))
+            payload = (v.encode("latin-1") if latin1
+                       else b"\xfe\xff" + v.encode("utf-16-be"))
+            if b.encryptor is not None:
+                enc_payload = b.encryptor(info_id, payload)
+                parts.append(b"<" + enc_payload.hex().upper().encode()
+                             + b">")
+            elif latin1 and "\r" not in v:
+                parts.append(b"(" + esc_literal(payload) + b")")
+            else:
+                parts.append(b"<" + payload.hex().upper().encode() + b">")
+        parts.append(b">>")
+        b.set(info_id, b"".join(parts))
+        extra_trailer += b"/Info " + str(info_id).encode() + b" 0 R"
 
     page_ids = []
     kid_entries = []

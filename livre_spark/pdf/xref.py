@@ -50,6 +50,9 @@ class Trailer:
     # byte offset of the /Encrypt value span (beyond-reference extension:
     # the reference never reads /Encrypt; pdf/crypt.py resolves it)
     encrypt_pos: int | None = None
+    # byte offset of the /Info value span (beyond-reference extension:
+    # Document.info() resolves it, decrypting strings when encrypted)
+    info_pos: int | None = None
 
 
 def trailer_from_raw_dict(raw: ob.RawDict) -> Trailer:
@@ -59,8 +62,10 @@ def trailer_from_raw_dict(raw: ob.RawDict) -> Trailer:
     root = raw.require(b"Root", ob.parse_reference)
     file_id = raw.pop_and_parse(b"ID", ob.parse_file_id)
     enc_span = raw.pop(b"Encrypt")
+    info_span = raw.pop(b"Info")
     return Trailer(size=size, prev=prev, root=root, file_id=file_id,
-                   encrypt_pos=enc_span[0] if enc_span else None)
+                   encrypt_pos=enc_span[0] if enc_span else None,
+                   info_pos=info_span[0] if info_span else None)
 
 
 # --- plain tables (plain.rs) -------------------------------------------------

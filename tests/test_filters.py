@@ -386,3 +386,77 @@ def test_build_decryptor_cf_length_fallback():
            b"/P -44>>")
     dec = build_decryptor(enc, 0, {}, (id0,))
     assert dec.mode == "aesv2" and dec.file_key == key
+
+
+ENCRYPT_SCHEMES = ["rc4-40", "rc4-128", "rc4-128-owner", "aes-128",
+                   "aes-256", "aes-256-owner"]
+
+
+@pytest.mark.parametrize("scheme", ENCRYPT_SCHEMES)
+def test_encrypted_extraction_matches_plaintext_twin(scheme):
+    """End-to-end: an encrypted fixture extracts BYTE-IDENTICAL text to
+    its unencrypted twin, for every supported scheme (RC4 40/128, AES-128
+    V4, AES-256 R6) on both the empty-user and empty-owner password
+    paths."""
+    from livre_spark.pdf.api import extract_text
+    from livre_spark.pdf.genpdf import build_pdf
+
+    contents = [b"BT /F1 12 Tf (encrypted page one) Tj ET",
+                b"BT /F1 12 Tf (seite zwei) Tj T* (line) Tj ET"]
+    plain = extract_text(build_pdf(contents, flate=True))
+    enc = extract_text(build_pdf(contents, flate=True, encrypt=scheme))
+    assert enc["text"] == plain["text"]
+    assert enc["error"] == plain["error"]
+    assert enc["n_pages"] == plain["n_pages"]
+
+
+@pytest.mark.parametrize("scheme", [None] + ENCRYPT_SCHEMES)
+def test_info_strings_decrypted(scheme):
+    """Document.info() golden: /Info strings come back decrypted and
+    decoded (Latin-1 and UTF-16BE paths) for every scheme; the ciphertext
+    never leaks.  Extraction defaults stay unchanged - extract_text never
+    touches /Info."""
+    from livre_spark.pdf.document import open_document
+    from livre_spark.pdf.genpdf import build_pdf
+
+    info = {"Title": "Annual Report (final)", "Author": "Anaïs",
+            "Subject": "日本語 title"}
+    pdf = build_pdf([b"BT (x) Tj ET"], flate=True, encrypt=scheme,
+                    info=info)
+    got = open_document(pdf).info()
+    assert got == info
+    if scheme is not None:
+        # the plaintext title must not appear in the file bytes
+        assert b"Annual Report" not in pdf
+
+
+def test_info_absent_and_objstm_variant():
+    from livre_spark.pdf.document import open_document
+    from livre_spark.pdf.genpdf import build_pdf
+
+    assert open_document(build_pdf([b"BT (x) Tj ET"])).info() is None
+    info = {"Title": "compressed-xref doc"}
+    pdf = build_pdf([b"BT (x) Tj ET"], xref="stream", use_objstm=True,
+                    encrypt="aes-128", info=info)
+    assert open_document(pdf).info() == info
+
+
+def test_strf_identity_strings_plaintext():
+    """/StrF /Identity: streams encrypted, strings passed through."""
+    from livre_spark.pdf.crypt import (
+        build_decryptor, compute_file_key, compute_u,
+    )
+
+    id0 = b"\xde\xad\xbe\xef"
+    o = bytes(range(32))
+    key = compute_file_key(o, -44, id0, 4, 128)
+    u = compute_u(key, id0, 4)
+    enc = (b"<</Filter/Standard/V 4/R 4/Length 128"
+           b"/CF<</StdCF<</CFM/AESV2/Length 16>>>>"
+           b"/StmF/StdCF/StrF/Identity"
+           b"/O <" + o.hex().encode() + b">"
+           b"/U <" + u.hex().encode() + b">"
+           b"/P -44>>")
+    dec = build_decryptor(enc, 0, {}, (id0,))
+    assert dec.mode == "aesv2" and dec.string_mode == "identity"
+    assert dec.decrypt_string(7, 0, b"already plain") == b"already plain"
