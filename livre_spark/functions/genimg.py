@@ -25,15 +25,41 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data)))
 
 
+# Adam7 pass geometry (mirrors multimodal._ADAM7): x0, y0, dx, dy
+ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def encode_png(width: int, height: int, pixels: bytes,
                color_type: int = 2, filter_type: int = 0,
-               palette: bytes | None = None) -> bytes:
-    """8-bit-depth PNG from raw sample bytes (row-major, no padding)."""
+               palette: bytes | None = None, depth: int = 8,
+               interlace: int = 0) -> bytes:
+    """PNG from raw sample bytes (row-major, no padding, big-endian for
+    16-bit depth); ``interlace=1`` emits Adam7 - each pass filtered as
+    an independent sub-image, per spec."""
     ch = CHANNELS[color_type]
-    assert len(pixels) == width * height * ch, "pixel buffer size mismatch"
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    filtered = png_predict_encode(pixels, columns=width, colors=ch,
-                                  bpc=8, filter_type=filter_type)
+    ps = ch * (depth // 8)  # bytes per pixel
+    assert len(pixels) == width * height * ps, "pixel buffer size mismatch"
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0,
+                       interlace)
+    if interlace == 0:
+        filtered = png_predict_encode(pixels, columns=width, colors=ch,
+                                      bpc=depth, filter_type=filter_type)
+    else:
+        parts = []
+        for x0, y0, dx, dy in ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = b"".join(
+                pixels[(y * width + x) * ps : (y * width + x + 1) * ps]
+                for y in range(y0, height, dy)
+                for x in range(x0, width, dx))
+            parts.append(png_predict_encode(sub, columns=pw, colors=ch,
+                                            bpc=depth,
+                                            filter_type=filter_type))
+        filtered = b"".join(parts)
     out = PNG_SIG + _chunk(b"IHDR", ihdr)
     if color_type == 3:
         assert palette is not None

@@ -55,17 +55,47 @@ class ImageDecodeError(ValueError):
     """Malformed image payload - contained into the error column."""
 
 
+# Adam7 pass geometry: (x origin, y origin, x step, y step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unfilter_subimage(raw: bytes, off: int, pw: int, ph: int, ch: int,
+                       depth: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub)image of ``ph`` rows x ``pw`` pixels starting at
+    ``off`` in the inflated stream; returns (ph, pw, ch) uint8 samples
+    (16-bit depth keeps the high byte - the PNG byte order is big-endian,
+    so a stride-2 view is the standard 8-bit reduction) and the new
+    offset."""
+    row_bytes = (ch * depth * pw + 7) // 8
+    sub_len = ph * (1 + row_bytes)
+    sub = raw[off : off + sub_len]
+    if len(sub) != sub_len:
+        raise ImageDecodeError("pixel buffer size mismatch")
+    try:
+        flat = apply_predictor(sub, 10, colors=ch, bpc=depth, columns=pw)
+    except Exception as exc:
+        raise ImageDecodeError(f"row unfilter: {exc}") from exc
+    arr = np.frombuffer(flat, dtype=np.uint8).reshape(
+        ph, pw, ch * (depth // 8))
+    if depth == 16:
+        arr = arr[:, :, ::2]
+    return arr, off + sub_len
+
+
 def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
     """Pure-Python PNG: IHDR + PLTE + multi-chunk IDAT -> zlib inflate ->
     PNG row unfilter (shared with pdf/filters.py predictors) -> samples.
 
-    8-bit depth, interlace 0; palette images are expanded to RGB so the
-    features see colors, not indices."""
+    8- and 16-bit depths (16-bit reduces to the high byte), interlace 0
+    and 1 (Adam7 - each of the seven passes is an independently filtered
+    sub-image, unfiltered separately and scattered into place); palette
+    images are expanded to RGB so the features see colors, not indices."""
     if buf[:8] != _PNG_SIG:
         raise ImageDecodeError("bad PNG signature")
     pos = 8
     width = height = None
-    color_type = depth = 0
+    color_type = depth = interlace = 0
     palette = b""
     idat = bytearray()
     while pos + 8 <= len(buf):
@@ -81,14 +111,16 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
         if ctype == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
-            if depth != 8:
+            if depth not in (8, 16):
                 raise NotImplementedError(f"PNG bit depth {depth}")
             if color_type not in _PNG_CHANNELS:
                 raise ImageDecodeError(f"PNG color type {color_type}")
+            if depth == 16 and color_type == 3:
+                raise ImageDecodeError("16-bit palette PNG is invalid")
             if comp != 0 or filt != 0:
                 raise ImageDecodeError("bad IHDR compression/filter")
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG")
+            if interlace not in (0, 1):
+                raise ImageDecodeError(f"PNG interlace {interlace}")
         elif ctype == b"PLTE":
             palette = data
         elif ctype == b"IDAT":
@@ -102,11 +134,21 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
     except zlib.error as exc:
         raise ImageDecodeError(f"IDAT inflate: {exc}") from exc
     ch = _PNG_CHANNELS[color_type]
-    try:
-        samples = apply_predictor(raw, 10, colors=ch, bpc=8, columns=width)
-    except Exception as exc:
-        raise ImageDecodeError(f"row unfilter: {exc}") from exc
-    if len(samples) != width * height * ch:
+    if interlace == 0:
+        arr, off = _unfilter_subimage(raw, 0, width, height, ch, depth)
+        samples = arr.tobytes()
+    else:
+        out = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            arr, off = _unfilter_subimage(raw, off, pw, ph, ch, depth)
+            out[y0::dy, x0::dx, :] = arr
+        samples = out.tobytes()
+    if off != len(raw):
         raise ImageDecodeError("pixel buffer size mismatch")
     if color_type == 3:
         if len(palette) < 3:

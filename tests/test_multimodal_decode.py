@@ -124,3 +124,68 @@ def test_ppm_crlf_after_maxval():
     assert feats == _expected_features(pixels)
     with pytest.raises(ImageDecodeError):
         decode_image(b"P6\n6 3 255x" + pixels)
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 4])
+@pytest.mark.parametrize("color_type, ch", [(0, 1), (2, 3), (6, 4)])
+def test_png_adam7_matches_progressive(color_type, ch, ft):
+    """Adam7 decode == interlace-0 decode of the same pixels, for sizes
+    that exercise empty and partial passes (1x1 hits 5 empty passes)."""
+    for w, h in [(1, 1), (3, 2), (8, 8), (9, 5), (16, 11)]:
+        pixels = _gradient(w * h * ch)
+        plain = decode_image(encode_png(w, h, pixels,
+                                        color_type=color_type,
+                                        filter_type=ft))
+        adam = decode_image(encode_png(w, h, pixels,
+                                       color_type=color_type,
+                                       filter_type=ft, interlace=1))
+        assert adam == plain == (w, h, _expected_features(pixels))
+
+
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_png_16bit_high_byte_reduction(interlace):
+    """16-bit samples decode as their high bytes (big-endian per spec)."""
+    w, h, ch = 6, 5, 3
+    high = _gradient(w * h * ch)
+    pixels16 = b"".join(bytes([hb, (hb * 7 + 1) & 0xFF]) for hb in high)
+    buf = encode_png(w, h, pixels16, color_type=2, filter_type=2,
+                     depth=16, interlace=interlace)
+    gw, gh, feats = decode_image(buf)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(high)
+
+
+def test_png_16bit_palette_invalid():
+    import struct, zlib
+    from livre_spark.functions.genimg import PNG_SIG, _chunk
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad = (PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ImageDecodeError):
+        decode_image(bad)
+
+
+def test_png_adam7_truncated_pass_contained():
+    w, h = 9, 5
+    buf = encode_png(w, h, _gradient(w * h * 3), interlace=1)
+    # re-deflate a shortened pixel stream: drop the last 10 bytes
+    import struct, zlib
+    from livre_spark.functions.genimg import PNG_SIG, _chunk
+    sig_ihdr = buf[:8 + 12 + 13]
+    raw = zlib.decompress(b"".join(
+        buf[p + 8 : p + 8 + struct.unpack(">I", buf[p:p+4])[0]]
+        for p in _iter_chunks(buf) if buf[p + 4 : p + 8] == b"IDAT"))
+    short = sig_ihdr + _chunk(b"IDAT", zlib.compress(raw[:-10])) \
+        + _chunk(b"IEND", b"")
+    with pytest.raises(ImageDecodeError):
+        decode_image(short)
+
+
+def _iter_chunks(buf):
+    import struct
+    pos = 8
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        yield pos
+        pos += 12 + length
