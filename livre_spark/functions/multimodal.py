@@ -2,14 +2,17 @@
 
 The Spark-side machinery - schema, Arrow batching, partitioning, UDF
 signatures - is format-agnostic.  ``decode_image`` really decodes
-**PNG** (8-bit gray/RGB/palette/alpha, multi-chunk IDAT, CRC-checked,
-all five row filters via the shared ``pdf.filters`` PNG unfilter),
-**PPM/PGM** (binary P6/P5) and **BMP** (24-bit uncompressed) in pure
-stdlib Python - no PIL/libvips in this container.  Other formats (JPEG
-etc. need a real codec) raise ``NotImplementedError``, contained into
-the ``error`` column like every other per-row failure.  ``fake=True``
-keeps the deterministic raw-byte-histogram path used by the DuckDB
-oracle twin (SQL can mirror byte histograms, not inflate).
+**PNG** (8/16-bit gray/RGB/palette/alpha, Adam7 interlace, multi-chunk
+IDAT, CRC-checked, all five row filters via the shared ``pdf.filters``
+PNG unfilter), **baseline JPEG** (functions/jpeg.py: Huffman + IDCT +
+YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), **PPM/PGM** (binary P6/P5)
+and **BMP** (24-bit uncompressed) in pure Python - no PIL/libvips in
+this container.  Remaining formats (GIF/WebP; progressive JPEG) raise
+``NotImplementedError``, contained into the ``error`` column like every
+other per-row failure - with ``image_dimensions`` still recovering
+header width/height for those rows.  ``fake=True`` keeps the
+deterministic raw-byte-histogram path used by the DuckDB oracle twin
+(SQL can mirror byte histograms, not inflate).
 """
 
 from __future__ import annotations
@@ -261,15 +264,40 @@ def decode_image(buf: bytes, fake: bool = False):
         return width, height, [float(x) for x in features]
     if buf[:8] == _PNG_SIG:
         w, h, samples = _decode_png(buf)
+    elif buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        w, h, samples = decode_jpeg(buf)
     elif buf[:2] in (b"P5", b"P6"):
         w, h, samples = _decode_ppm(buf)
     elif buf[:2] == b"BM":
         w, h, samples = _decode_bmp(buf)
     else:
         raise NotImplementedError(
-            "unrecognized image format (PNG/PPM/PGM/BMP decode in pure "
-            "Python; JPEG etc. need a codec library not in this container)")
+            "unrecognized image format (PNG/JPEG-baseline/PPM/PGM/BMP "
+            "decode in pure Python; GIF/WebP etc. need a codec library "
+            "not in this container)")
     return w, h, _pixel_features(samples)
+
+
+def image_dimensions(buf: bytes) -> tuple[int, int] | None:
+    """Header-only (width, height), or None - recovers metadata for
+    formats whose FULL decode is unsupported (progressive JPEG, 12-bit
+    precision, exotic BMP), so those rows keep dimensions next to their
+    error instead of nulls."""
+    try:
+        if buf[:8] == _PNG_SIG and len(buf) >= 24:
+            w, h = struct.unpack_from(">II", buf, 16)
+            return int(w), int(h)
+        if buf[:2] == b"\xff\xd8":
+            from .jpeg import jpeg_dimensions
+            w, h, _nc = jpeg_dimensions(buf)
+            return w, h
+        if buf[:2] == b"BM" and len(buf) >= 26:
+            w, h = struct.unpack_from("<ii", buf, 18)
+            return int(w), abs(int(h))
+    except Exception:
+        return None
+    return None
 
 
 def media_feature_batches(batches: Iterator[pd.DataFrame],
@@ -290,8 +318,10 @@ def media_feature_batches(batches: Iterator[pd.DataFrame],
                 out["features"].append(feats)
                 out["error"].append(None)
             except Exception as exc:  # containment: a poisoned payload
-                out["width"].append(None)  # must not kill the job
-                out["height"].append(None)
+                dims = image_dimensions(buf)  # must not kill the job;
+                # header-only metadata survives unsupported-codec rows
+                out["width"].append(dims[0] if dims else None)
+                out["height"].append(dims[1] if dims else None)
                 out["features"].append(None)
                 out["error"].append(f"{type(exc).__name__}: {exc}")
         yield pd.DataFrame(out)

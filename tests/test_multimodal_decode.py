@@ -50,8 +50,11 @@ def test_png_corruption_contained():
         decode_image(bytes(buf))
     with pytest.raises(ImageDecodeError):
         decode_image(encode_png(3, 3, _gradient(27))[:40])  # truncated
+    from livre_spark.functions.jpeg import JpegError
+    with pytest.raises(JpegError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg soi")  # truncated segment
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg soi")  # JPEG needs a codec
+        decode_image(b"GIF89a rest")  # GIF still needs a codec
 
 
 @pytest.mark.parametrize("gray", [False, True])
@@ -97,8 +100,9 @@ def test_spark_real_decode(spark):
         [(1, "image", bytearray(encode_png(w, h, png_px))),
          (2, "image", bytearray(encode_ppm(w, h, ppm_px))),
          (3, "image", bytearray(encode_bmp(w, h, png_px))),
-         (4, "image", bytearray(b"\xff\xd8\xffjpeg")),
-         (5, "image", bytearray(encode_png(w, h, png_px)[:30]))],
+         (4, "image", bytearray(b"GIF89a no codec")),
+         (5, "image", bytearray(encode_png(w, h, png_px)[:30])),
+         (6, "image", bytearray(b"\xff\xd8\xffjpeg"))],
         "media_id long, kind string, content binary")
     got = {r["media_id"]: r for r in
            extract_media_features(media, fake=False).collect()}
@@ -109,6 +113,7 @@ def test_spark_real_decode(spark):
     assert "NotImplementedError" in got[4]["error"]  # contained, row kept
     assert got[5]["error"] is not None
     assert got[5]["features"] is None
+    assert "JpegError" in got[6]["error"]  # truncated JPEG contained
 
 
 def test_ppm_crlf_after_maxval():
@@ -189,3 +194,95 @@ def _iter_chunks(buf):
         (length,) = struct.unpack(">I", buf[pos : pos + 4])
         yield pos
         pos += 12 + length
+
+
+# --- baseline JPEG goldens ---------------------------------------------------
+
+def _smooth_rgb(w, h):
+    return bytes(min(255, x * 2 + y * 3 + c * 20)
+                 for y in range(h) for x in range(w) for c in range(3))
+
+
+def test_jpeg_constant_exact():
+    """quant=1 + DC-only blocks: constant-color decode is EXACT, so the
+    whole marker/Huffman/IDCT/color pipeline is pinned bit-for-bit."""
+    from livre_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    w, h = 16, 12
+    for color, sub in [((200, 64, 30), "444"), ((90, 160, 210), "420"),
+                       ((5, 250, 128), "422")]:
+        px = bytes(color) * (w * h)
+        gw, gh, samples = decode_jpeg(encode_jpeg(w, h, px,
+                                                  subsampling=sub))
+        assert (gw, gh) == (w, h)
+        assert samples == px, f"{color} {sub}"
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+@pytest.mark.parametrize("rst", [0, 3])
+def test_jpeg_smooth_gradient_tolerance(sub, rst):
+    """Smooth gradients round-trip within quantization+subsampling
+    tolerance on odd (non-MCU-aligned) dimensions."""
+    from livre_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    w, h = 19, 13
+    px = _smooth_rgb(w, h)
+    gw, gh, samples = decode_jpeg(encode_jpeg(
+        w, h, px, subsampling=sub, quant=2, restart_interval=rst))
+    assert (gw, gh) == (w, h)
+    a = np.frombuffer(samples, dtype=np.uint8).astype(int)
+    e = np.frombuffer(px, dtype=np.uint8).astype(int)
+    assert np.abs(a - e).max() <= 4
+
+
+def test_jpeg_gray_gradient_exact():
+    from livre_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    w, h = 19, 13
+    px = bytes(((x * 7 + y * 11) & 0xFF) for y in range(h)
+               for x in range(w))
+    gw, gh, samples = decode_jpeg(encode_jpeg(w, h, px, gray=True,
+                                              restart_interval=2))
+    assert (gw, gh, samples) == (w, h, px)
+
+
+def test_jpeg_through_decode_image():
+    from livre_spark.functions.jpeg import encode_jpeg
+    w, h = 8, 8
+    px = bytes([10, 20, 250] * (w * h))
+    gw, gh, feats = decode_image(encode_jpeg(w, h, px))
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(px)
+
+
+def test_jpeg_dimensions_and_progressive_metadata():
+    """SOF2 (progressive) rows keep width/height metadata while the
+    decode error is recorded - the header scan works on any SOFn."""
+    from livre_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg, jpeg_dimensions,
+    )
+    from livre_spark.functions.multimodal import image_dimensions
+    buf = bytearray(encode_jpeg(24, 17, _smooth_rgb(24, 17)))
+    assert jpeg_dimensions(bytes(buf)) == (24, 17, 3)
+    assert image_dimensions(bytes(buf)) == (24, 17)
+    # flip SOF0 -> SOF2: dimensions still parse, decode refuses
+    sof = bytes(buf).index(b"\xff\xc0")
+    buf[sof + 1] = 0xC2
+    assert jpeg_dimensions(bytes(buf)) == (24, 17, 3)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+
+def test_unsupported_codec_rows_keep_header_dimensions():
+    """media_feature_batches: a progressive JPEG lands with width/height
+    populated AND the error recorded."""
+    import pandas as pd
+    from livre_spark.functions.jpeg import encode_jpeg
+    from livre_spark.functions.multimodal import media_feature_batches
+    buf = bytearray(encode_jpeg(24, 17, _smooth_rgb(24, 17)))
+    sof = bytes(buf).index(b"\xff\xc0")
+    buf[sof + 1] = 0xC2
+    batch = pd.DataFrame({"media_id": [1], "kind": ["image"],
+                          "content": [bytes(buf)]})
+    (out,) = list(media_feature_batches(iter([batch]), fake=False))
+    row = out.iloc[0]
+    assert (row["width"], row["height"]) == (24, 17)
+    assert row["features"] is None
+    assert "progressive" in row["error"]
