@@ -408,7 +408,7 @@ def main() -> None:
     # time - and the MEDIAN window by steal-immune efficiency (ratio of
     # Spark/pool fractions) is reported, with every window emitted so
     # the artifact can never cherry-pick a lucky draw.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     cores_n = max(2, CPUS // 4)
     docs_pkl = prepare_kernel_sample(corpus)
     try:

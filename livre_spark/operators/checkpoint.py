@@ -18,33 +18,42 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+MANIFEST_TABLE = "done_urls"
+
+
+def _sink(checkpoint):
+    """A checkpoint location is a directory (parquet, the in-sandbox
+    default) or any TableSink (e.g. plans.sinks.IcebergSink, whose
+    atomic snapshots collapse the torn-batch window - see sinks.py)."""
+    if isinstance(checkpoint, str):
+        from ..plans.sinks import ParquetSink
+
+        return ParquetSink(checkpoint)
+    return checkpoint
+
 
 def manifest_path(checkpoint_dir: str) -> str:
-    return os.path.join(checkpoint_dir, "done_urls")
+    return os.path.join(checkpoint_dir, MANIFEST_TABLE)
 
 
-def read_done_urls(spark: SparkSession, checkpoint_dir: str) -> DataFrame | None:
-    path = manifest_path(checkpoint_dir)
-    try:
-        return spark.read.parquet(path).select("url")
-    except Exception:
-        return None
+def read_done_urls(spark: SparkSession, checkpoint) -> DataFrame | None:
+    done = _sink(checkpoint).read_or_none(spark, MANIFEST_TABLE)
+    return None if done is None else done.select("url")
 
 
-def filter_done(pages: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+def filter_done(pages: DataFrame, checkpoint) -> DataFrame:
     """Anti-join already-done urls (B13 left_anti)."""
-    if not checkpoint_dir:
+    if not checkpoint:
         return pages
-    done = read_done_urls(pages.sparkSession, checkpoint_dir)
+    done = read_done_urls(pages.sparkSession, checkpoint)
     if done is None:
         return pages
     return pages.join(done, "url", "left_anti")
 
 
-def append_manifest(extracted: DataFrame, checkpoint_dir: str | None) -> None:
+def append_manifest(extracted: DataFrame, checkpoint) -> None:
     """Record completed urls (success AND contained-error rows - both are
     terminal states; a retry would reproduce the identical row)."""
-    if not checkpoint_dir:
+    if not checkpoint:
         return
-    (extracted.select("url")
-     .write.mode("append").parquet(manifest_path(checkpoint_dir)))
+    _sink(checkpoint).append(extracted.select("url"), MANIFEST_TABLE)

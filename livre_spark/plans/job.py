@@ -34,7 +34,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.checkpoint import append_manifest, filter_done, read_done_urls
@@ -44,6 +44,7 @@ from ..operators.extraction import (
 from ..operators.metrics import partition_metrics
 from ..operators.skew import latest_per_url, size_bucketed_repartition
 from ..sources import read_pages
+from .sinks import ParquetSink, TableSink
 
 
 def build_session(app_name: str = "livre-spark", cores: str | int = "*",
@@ -95,28 +96,15 @@ def build_session(app_name: str = "livre-spark", cores: str | int = "*",
     return builder.getOrCreate()
 
 
-def _text_path(output_dir: str) -> str:
-    return os.path.join(output_dir, "documents_text")
-
-
-def _spans_path(output_dir: str) -> str:
-    return os.path.join(output_dir, "documents_spans")
-
-
-def _metrics_path(output_dir: str) -> str:
-    return os.path.join(output_dir, "partition_metrics")
-
-
-def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
+TEXT_TABLE = "documents_text"
+SPANS_TABLE = "documents_spans"
+METRICS_TABLE = "partition_metrics"
 
 
 def heal_torn(spark: SparkSession, output_dir: str,
               checkpoint_dir: str | None,
-              write_spans: bool = True) -> int:
+              write_spans: bool = True,
+              sink: TableSink | None = None) -> int:
     """Converge a torn batch left by a crash before the manifest append.
 
     Torn = urls in ``documents_text`` missing from the manifest.  For those
@@ -127,10 +115,15 @@ def heal_torn(spark: SparkSession, output_dir: str,
     by the next invocation - the procedure converges.
 
     Returns the number of torn urls healed (0 on the normal path).
+
+    NB with an atomic-commit sink (plans.sinks.IcebergSink + a WAP /
+    two-table transaction) the torn window cannot exist and this scan
+    finds nothing - the parquet sink is WHY this procedure exists.
     """
     if not checkpoint_dir:
         return 0
-    text = _read_or_none(spark, _text_path(output_dir))
+    sink = sink or ParquetSink(output_dir)
+    text = sink.read_or_none(spark, TEXT_TABLE)
     if text is None:
         return 0
     done = read_done_urls(spark, checkpoint_dir)
@@ -140,14 +133,13 @@ def heal_torn(spark: SparkSession, output_dir: str,
     if n_torn == 0:
         return 0
 
-    spans_tbl = _read_or_none(spark, _spans_path(output_dir))
+    spans_tbl = sink.read_or_none(spark, SPANS_TABLE)
     if spans_tbl is not None or write_spans:
         missing_spans = torn if spans_tbl is None else torn.join(
             spans_tbl.select("url").distinct(), "url", "left_anti")
-        explode_spans(missing_spans).write.mode("append").parquet(
-            _spans_path(output_dir))
+        sink.append(explode_spans(missing_spans), SPANS_TABLE)
 
-    metrics_tbl = _read_or_none(spark, _metrics_path(output_dir))
+    metrics_tbl = sink.read_or_none(spark, METRICS_TABLE)
     torn_runs = [r["run_id"]
                  for r in torn.select("run_id").distinct().collect()]
     if metrics_tbl is not None:
@@ -155,8 +147,9 @@ def heal_torn(spark: SparkSession, output_dir: str,
                 metrics_tbl.select("run_id").distinct().collect()}
         torn_runs = [r for r in torn_runs if r not in have]
     for rid in torn_runs:
-        (partition_metrics(torn.filter(F.col("run_id") == rid), rid)
-         .write.mode("append").parquet(_metrics_path(output_dir)))
+        sink.append(
+            partition_metrics(torn.filter(F.col("run_id") == rid), rid),
+            METRICS_TABLE)
 
     append_manifest(torn, checkpoint_dir)
     return n_torn
@@ -169,19 +162,25 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
                  cmap: bool = False,
                  strip_inline: bool = False,
                  html_mode: str | None = None,
-                 run_id: str | None = None) -> dict:
+                 run_id: str | None = None,
+                 sink: TableSink | None = None) -> dict:
     """Execute the full pipeline; returns output locations + counts.
 
     ``html_mode``: route non-PDF rows that look like HTML through the
     JVM-side boilerplate-strip/DOM-heuristic extractor (north rule's
     HTML axis) - ``"main"`` or ``"strip"``; ``None`` (default) keeps
     the PDF-only behavior.
+
+    ``sink``: where the four tables land - default a ParquetSink rooted
+    at ``output_dir``; an IcebergSink turns every append into an atomic
+    snapshot commit (plans/sinks.py documents what that collapses).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    text_path = _text_path(output_dir)
+    sink = sink or ParquetSink(output_dir)
+    text_path = sink.location(TEXT_TABLE)
 
     healed = heal_torn(spark, output_dir, checkpoint_dir,
-                       write_spans=write_spans)
+                       write_spans=write_spans, sink=sink)
 
     pages = read_pages(spark, source)
     if dedup_snapshots and "warc_ts" in pages.columns:
@@ -207,23 +206,20 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
             extract_html_documents(html_pages, mode=html_mode))
 
     # the ONLY action that runs the UDF: text + nested spans in one write
-    (extracted
-     .withColumn("run_id", F.lit(run_id))
-     .write.mode("append").parquet(text_path))
+    sink.append(extracted.withColumn("run_id", F.lit(run_id)), TEXT_TABLE)
 
     # secondary sinks derive from the written table; parquet prunes the
     # text column away, so these scans read only the small columns
-    written = (spark.read.parquet(text_path)
+    written = (sink.read_or_none(spark, TEXT_TABLE)
                .filter(F.col("run_id") == run_id))
 
     spans_path = None
     if write_spans:
-        spans_path = _spans_path(output_dir)
-        explode_spans(written).write.mode("append").parquet(spans_path)
+        spans_path = sink.location(SPANS_TABLE)
+        sink.append(explode_spans(written), SPANS_TABLE)
 
-    metrics_path = _metrics_path(output_dir)
-    (partition_metrics(written, run_id)
-     .write.mode("append").parquet(metrics_path))
+    metrics_path = sink.location(METRICS_TABLE)
+    sink.append(partition_metrics(written, run_id), METRICS_TABLE)
 
     n_docs = written.count()
     append_manifest(written, checkpoint_dir)

@@ -190,3 +190,28 @@ def test_html_mode_contains_malformed_bytes(spark, tmp_path):
     assert info["n_docs"] == 2            # binary junk not routed
     assert "plain text content" in got["h://garbage"]["text"]
     assert got["h://truncated"]["text"].startswith("a paragraph")
+
+
+def test_sink_seam_explicit_parquet_identical(spark, corpus_path, tmp_path):
+    """The TableSink seam: running with an explicit ParquetSink produces
+    the identical layout/content as the default path (no behavior
+    change), and the manifest accepts a sink object too."""
+    from livre_spark.plans.sinks import IcebergSink, ParquetSink
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    info = run_pipeline(spark, corpus_path, out, checkpoint_dir=ckpt,
+                        sink=ParquetSink(out))
+    assert info["text_path"] == str(tmp_path / "out" / "documents_text")
+    text = spark.read.parquet(info["text_path"])
+    assert text.count() == info["n_docs"] > 0
+    # resume via the seam: second run extracts nothing new
+    info2 = run_pipeline(spark, corpus_path, out, checkpoint_dir=ckpt,
+                        sink=ParquetSink(out))
+    assert info2["n_docs"] == 0 and info2["n_healed"] == 0
+
+    # Iceberg identifier logic (no catalog in-sandbox; construction and
+    # naming must work so a configured cluster can pass one in)
+    ice = IcebergSink("lake.crawl", snapshot_props={"run_id": "r1"})
+    assert ice.location("documents_text") == "lake.crawl.documents_text"
+    assert ice.read_or_none(spark, "documents_text") is None
