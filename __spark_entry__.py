@@ -9,7 +9,7 @@
                in integer cents; per-row float math (cosine etc.) is
                identical IEEE-754 on both engines and rounded to 6dp.
 
-Every registered query has a DuckDB twin (40 queries, 40 oracles);
+Every registered query has a DuckDB twin (43 queries, 43 oracles);
 genuinely non-SQL ops (stateful streaming dedup, windowed streaming
 aggregation) live behind pytest pins instead of registry entries.
 """
@@ -1136,6 +1136,100 @@ FROM m
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS from the minhash-LSH pair graph: min-label
+    propagation to a fixpoint (dedup.connected_components), the step
+    that turns pairwise candidates into keep-one-per-cluster decisions.
+    Oracle: DuckDB recursive CTE computing min reachable id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, n_hashes=4, bands=2, k=3)
+    return (dd.connected_components(pairs)
+            .select(F.col("node").alias("doc_id"), "component"))
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_LSH}),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lab) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, r.lab FROM edges e JOIN reach r ON r.node = e.d)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(lab) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (dedup.sample_by_hash): keep
+    10% of 'en' docs and 30% of everything else, decided by a portable
+    salted md5 fold of the key - reproducible across runs, retries and
+    engines, unlike rand()."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(300))
+    return dd.sample_by_hash(docs, "doc_id", rate).select("doc_id", "lang")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 15))
+        ::BIGINT) % 1000
+      < CASE WHEN lang = 'en' THEN 100 ELSE 300 END
+"""
+
+
+_INFO_SCHEMES = ["rc4-40", "rc4-128", "aes-128"]
+
+
+def _doc_info_batches(batches):
+    """Per batch: deterministic /Info strings -> ENCRYPTED synthetic PDF
+    (scheme cycles rc4-40 / rc4-128 / aes-128 by doc_id) -> full
+    decryptor build -> Document.info() string decryption + decode.
+
+    By construction the recovered strings equal the derived inputs, so
+    the DuckDB oracle re-derives them from the table - a hash-exact row
+    over the crypt + /StrF + string-decode pipeline (pdf/crypt.py,
+    document.py:_info_value_parser)."""
+    import pandas as pd
+
+    from livre_spark.pdf.document import open_document
+    from livre_spark.pdf.genpdf import build_pdf
+
+    for batch in batches:
+        out = {"url": [], "title": [], "author": [], "scheme": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            did = int(doc_id)
+            scheme = _INFO_SCHEMES[did % 3]
+            info = {"Title": f"Doc {did}: " + str(text)[:16],
+                    "Author": f"author-{did % 7}"}
+            pdf = build_pdf([b"BT (x) Tj ET"], encrypt=scheme, info=info)
+            got = open_document(pdf).info()
+            out["url"].append(f"pdf://{did}")
+            out["title"].append(got["Title"])
+            out["author"].append(got["Author"])
+            out["scheme"].append(scheme)
+        yield pd.DataFrame(out)
+
+
+def q_doc_info_crypt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _doc_info_batches,
+        schema="url string, title string, author string, scheme string")
+
+
+SQL_DOC_INFO_CRYPT = """
+SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 16)
+         AS title,
+       'author-' || CAST(doc_id % 7 AS VARCHAR) AS author,
+       CASE doc_id % 3 WHEN 0 THEN 'rc4-40' WHEN 1 THEN 'rc4-128'
+            ELSE 'aes-128' END AS scheme
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": q_extract_roundtrip,
@@ -1178,6 +1272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "html_strip": q_html_strip,
         "html_main": q_html_main,
+        "doc_info_crypt": q_doc_info_crypt,
+        "dedup_components": q_dedup_components,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1222,4 +1319,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_pipeline_e2e": SQL_SIM_PIPELINE_E2E,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         **_html_oracle_sql(),
+        "doc_info_crypt": SQL_DOC_INFO_CRYPT,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
     }

@@ -93,8 +93,80 @@ def ensure_corpus(spark, n_docs: int) -> str:
     return path
 
 
+def _probe_child(core: int, ready_path: str, stop_path: str,
+                 out_path: str) -> None:
+    """Steal probe: a fixed-work burn loop pinned to ONE reserved core,
+    running CONCURRENTLY with the measurement it deflates.  Chunks/sec
+    falls exactly when the KVM host deschedules the vCPU - the same
+    steal the workload experiences AT THE SAME INSTANT, which adjacent-
+    in-time pairing (the previous methodology) provably missed: fully
+    idle clean runs still measured adjacent fractions 0.30 vs 1.10."""
+    os.sched_setaffinity(0, {core})
+    with open(ready_path, "w"):
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    x = 1.0
+    while not os.path.exists(stop_path):
+        for _ in range(200_000):  # ~10 ms of register-resident work
+            x = x * 1.0000001 + 1e-9
+        n += 1
+    dt = time.perf_counter() - t0
+    with open(out_path, "w") as fh:
+        fh.write(f"{n / dt if dt > 0 else 0.0}\n{x}")
+
+
+class StealProbe:
+    """Start/stop wrapper for the concurrent steal probe."""
+
+    def __init__(self, core: int):
+        import multiprocessing as mp
+
+        self.dir = tempfile.mkdtemp(prefix="bench_probe_")
+        self.ready = os.path.join(self.dir, "ready")
+        self.stopf = os.path.join(self.dir, "stop")
+        self.out = os.path.join(self.dir, "rate")
+        ctx = mp.get_context("spawn")
+        self.proc = ctx.Process(target=_probe_child,
+                                args=(core, self.ready, self.stopf,
+                                      self.out))
+        self.proc.start()
+        t0 = time.perf_counter()
+        while not os.path.exists(self.ready):
+            if time.perf_counter() - t0 > 30:
+                raise RuntimeError("steal probe failed to start")
+            time.sleep(0.01)
+
+    def stop(self) -> float:
+        """Chunks/sec the reserved core achieved over the probed span."""
+        with open(self.stopf, "w"):
+            pass
+        self.proc.join(timeout=30)
+        try:
+            with open(self.out) as fh:
+                rate = float(fh.readline())
+        except Exception:
+            rate = 0.0
+        shutil.rmtree(self.dir, ignore_errors=True)
+        return rate
+
+
+def _split_cpus(workers: int) -> tuple[int, set[int]]:
+    """First allotted CPU is the probe's reserved core; the next
+    ``workers`` CPUs are the workload's.  Both sides of every paired
+    measurement (Spark AND mp.Pool) use the same split, so the reserved
+    core cancels out of the fractions."""
+    allotted = sorted(os.sched_getaffinity(0))
+    if len(allotted) < workers + 1:
+        raise RuntimeError(f"need {workers + 1} CPUs, have {len(allotted)}")
+    return allotted[0], set(allotted[1 : workers + 1])
+
+
 def _run_extraction_child(cores: int, corpus_path: str, queue) -> None:
     """Child-process body: pin CPUs, launch a FRESH JVM, run, report.
+
+    ``cores`` counts WORKER cores; one extra core is reserved for the
+    concurrent steal probe that brackets the timed action.
 
     A ~2% deterministic sample runs through the identical plan BEFORE the
     timed action: it spawns every Python worker, compiles the codegen
@@ -103,7 +175,8 @@ def _run_extraction_child(cores: int, corpus_path: str, queue) -> None:
     scales by - not per-run fixed costs (~5s here regardless of core
     count, i.e. pure anti-scaling noise at the measured durations).
     """
-    os.sched_setaffinity(0, set(sorted(os.sched_getaffinity(0))[:cores]))
+    probe_core, worker_cpus = _split_cpus(cores)
+    os.sched_setaffinity(0, worker_cpus)
 
     import pyspark.sql.functions as F
 
@@ -138,25 +211,27 @@ def _run_extraction_child(cores: int, corpus_path: str, queue) -> None:
 
         extracted = extract_documents(
             size_bucketed_repartition(pages, size_col="n_bytes"))
+        probe = StealProbe(probe_core)
         t0 = time.perf_counter()
         t0_ms = time.time() * 1000
         (extracted.select("url", "text", "n_pages", "n_spans", "error")
          .write.mode("overwrite").parquet(os.path.join(out, "text")))
         dt = time.perf_counter() - t0
         t1_ms = time.time() * 1000
+        probe_rate = probe.stop()
         n_docs = spark.read.parquet(os.path.join(out, "text")).count()
         shutil.rmtree(out, ignore_errors=True)
-        payload = (dt, n_docs, t0_ms, t1_ms)
+        payload = (dt, n_docs, t0_ms, t1_ms, probe_rate)
     finally:
         spark.stop()  # finalizes the event log (.inprogress -> done)
         if payload is None:
             queue.put(None)
-    dt, n_docs, t0_ms, t1_ms = payload
+    dt, n_docs, t0_ms, t1_ms, probe_rate = payload
     try:
         stats = _task_stats(evdir, t0_ms, t1_ms)
     except Exception as exc:  # diagnostics must never hang the bench
         stats = {"error": repr(exc)}
-    queue.put((dt, n_docs, stats))
+    queue.put((dt, n_docs, stats, probe_rate))
     shutil.rmtree(evdir, ignore_errors=True)
 
 
@@ -206,8 +281,10 @@ def _task_stats(evdir: str, t0_ms: float, t1_ms: float) -> dict:
     }
 
 
-def run_extraction(cores: int, corpus_path: str) -> tuple[float, int, dict]:
-    """One extraction run at local[cores] PINNED to ``cores`` CPUs.
+def run_extraction(cores: int,
+                   corpus_path: str) -> tuple[float, int, dict, float]:
+    """One extraction run at local[cores] PINNED to ``cores`` worker CPUs
+    (+1 reserved probe core), with the concurrent steal-probe rate.
 
     Pinning rationale: without it, ``local[8]`` on a 32-core box is not an
     8-core cluster - its JVM task threads plus Python workers spread over
@@ -307,16 +384,19 @@ def _kernel_pool_child(cores: int, docs_path: str, queue) -> None:
     import multiprocessing as mp
     import pickle
 
-    os.sched_setaffinity(0, set(sorted(os.sched_getaffinity(0))[:cores]))
+    probe_core, worker_cpus = _split_cpus(cores)
+    os.sched_setaffinity(0, worker_cpus)
     with open(docs_path, "rb") as fh:
         docs = pickle.load(fh)
     # round-robin chunks smooth the heavy-tail docs across workers
     chunks = [docs[i::cores * 8] for i in range(cores * 8)]
     with mp.get_context("fork").Pool(cores) as pool:
+        probe = StealProbe(probe_core)
         t0 = time.perf_counter()
         total = sum(pool.map(_extract_chunk, chunks))
         dt = time.perf_counter() - t0
-    queue.put((dt, total))
+        probe_rate = probe.stop()
+    queue.put((dt, total, probe_rate))
 
 
 def prepare_kernel_sample(corpus_path: str, sample_docs: int = 32000) -> str:
@@ -339,48 +419,68 @@ def prepare_kernel_sample(corpus_path: str, sample_docs: int = 32000) -> str:
     return fh.name
 
 
-def kernel_pool_rate(cores: int, docs_path: str) -> float:
+def kernel_pool_rate(cores: int, docs_path: str) -> tuple[float, float]:
     """One pinned fresh-subprocess mp.Pool run of the SAME extraction
     kernel over the SAME doc mix: zero scheduling, zero serialization,
-    perfect balance - the machine's achievable rate at ``cores`` CPUs
-    *at this moment* (the VM host steals capacity in minutes-long
-    windows; identical Spark runs measured 21.5s vs 93.6s)."""
+    perfect balance - the machine's achievable rate at ``cores`` worker
+    CPUs *at this moment* (the VM host steals capacity unpredictably;
+    identical Spark runs measured 21.5s vs 93.6s).  Returns (docs/sec,
+    concurrent steal-probe chunks/sec)."""
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
     p = ctx.Process(target=_kernel_pool_child, args=(cores, docs_path, q))
     p.start()
-    dt, total = q.get()
+    dt, total, probe_rate = q.get()
     p.join()
-    return total / dt
+    return total / dt, probe_rate
 
 
 def measure_window(cores_n: int, cores_4n: int, corpus: str,
                    docs_path: str) -> dict:
-    """One INTERLEAVED measurement window: pool/Spark at N, then pool/
-    Spark at 4N, all adjacent in time so the whole window sees the same
-    host-steal state.  Each Spark run is sandwiched by two same-cores
-    kernel-pool runs; the window's achievable rate is the better of the
-    two (a fraction > 1 would only mean both pool draws were more stolen
-    than the Spark run between).  The per-window efficiency - the ratio
-    of Spark/pool fractions at 4N vs N - is the steal-immune quantity.
+    """One measurement window: pool/Spark at N, then pool/Spark at 4N.
+
+    Every run (Spark AND pool) carries a CONCURRENT steal probe on a
+    reserved core, and all rates are deflated by their own probe before
+    any comparison.  Rationale: the previous adjacent-in-time pairing
+    assumed consecutive runs see the same host-steal state - measured
+    false (identical clean back-to-back 4N fractions ranged 0.30-1.10).
+    The probe samples the steal DURING the run it normalizes, so the
+    deflated fraction (spark/probe) / (pool/probe) compares workloads at
+    the capacity the host actually delivered to each.
     """
     w: dict = {}
     for tag, cores in (("n", cores_n), ("4n", cores_4n)):
-        p1 = kernel_pool_rate(cores, docs_path)
-        dt, n, stats = run_extraction(cores, corpus)
-        p2 = kernel_pool_rate(cores, docs_path)
-        pool_rate = max(p1, p2)
+        p1, pp1 = kernel_pool_rate(cores, docs_path)
+        dt, n, stats, sp = run_extraction(cores, corpus)
+        p2, pp2 = kernel_pool_rate(cores, docs_path)
         spark_rate = n / dt
+        # deflate each rate by its own concurrent probe; the pool side
+        # takes the better deflated draw of its two sandwich runs
+        pool_defl = max((p1 / pp1 if pp1 else 0.0),
+                        (p2 / pp2 if pp2 else 0.0))
+        spark_defl = spark_rate / sp if sp else 0.0
+        fraction = spark_defl / pool_defl if pool_defl else 0.0
         w[tag] = {"seconds": round(dt, 2), "docs": n,
                   "spark_rate": round(spark_rate, 1),
-                  "pool_rate": round(pool_rate, 1),
-                  "fraction": round(spark_rate / pool_rate, 3),
+                  "pool_rate": round(max(p1, p2), 1),
+                  "probe_spark": round(sp, 1),
+                  "probe_pool": [round(pp1, 1), round(pp2, 1)],
+                  "fraction": round(fraction, 3),
                   "tasks": stats}
     w["efficiency_vs_kernel"] = round(
         w["4n"]["fraction"] / w["n"]["fraction"], 3)
+    # steal-corrected raw scaling: probe-deflated spark rates, exact
+    # worker-core factor (the reserved probe core is excluded on both
+    # levels, so cores_4n/cores_n stays the true 4.0)
+    defl_n = (w["n"]["spark_rate"] / w["n"]["probe_spark"]
+              if w["n"]["probe_spark"] else 0.0)
+    defl_4n = (w["4n"]["spark_rate"] / w["4n"]["probe_spark"]
+               if w["4n"]["probe_spark"] else 0.0)
     w["efficiency_raw"] = round(
+        defl_4n / ((cores_4n / cores_n) * defl_n) if defl_n else 0.0, 3)
+    w["efficiency_raw_unprobed"] = round(
         w["4n"]["spark_rate"]
         / ((cores_4n / cores_n) * w["n"]["spark_rate"]), 3)
     return w
@@ -409,10 +509,14 @@ def main() -> None:
     # Spark/pool fractions) is reported, with every window emitted so
     # the artifact can never cherry-pick a lucky draw.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
-    cores_n = max(2, CPUS // 4)
+    # one core per level is reserved for the concurrent steal probe, so
+    # worker counts are (CPUS/4 - 1) and 4x that: 7 -> 28 on 32 CPUs,
+    # keeping the worker ratio EXACTLY 4.0 with the probe outside both
+    cores_n = max(2, CPUS // 4 - 1)
+    cores_4n = 4 * cores_n
     docs_pkl = prepare_kernel_sample(corpus)
     try:
-        windows = [measure_window(cores_n, CPUS, corpus, docs_pkl)
+        windows = [measure_window(cores_n, cores_4n, corpus, docs_pkl)
                    for _ in range(repeats)]
     finally:
         os.unlink(docs_pkl)
@@ -420,7 +524,7 @@ def main() -> None:
     med = ranked[len(ranked) // 2]
     lvl_n, lvl_4n = med["n"], med["4n"]
     rate_n, rate_4n = lvl_n["spark_rate"], lvl_4n["spark_rate"]
-    hw_speedup = hardware_speedup(cores_n, CPUS)
+    hw_speedup = hardware_speedup(cores_n, cores_4n)
 
     result = {
         "metric": "docs/sec (PDF-to-text)",
@@ -431,7 +535,10 @@ def main() -> None:
         "scaling": {
             "corpus_docs": N_DOCS,
             "cores_n": cores_n,
-            "cores_4n": CPUS,
+            "cores_4n": cores_4n,
+            "probe_note": "one core per level reserved for the"
+                          " concurrent steal probe; rates deflated by"
+                          " the probe before fractions/efficiency",
             "windows": windows,
             "median_window": {
                 "seconds_n": lvl_n["seconds"],
@@ -449,6 +556,8 @@ def main() -> None:
             "docs_per_sec_n": rate_n,
             "docs_per_sec_4n": rate_4n,
             "efficiency": med["efficiency_raw"],
+            "efficiency_raw_unprobed": med.get(
+                "efficiency_raw_unprobed"),
             "hardware_cpu_speedup": round(hw_speedup, 3),
             "kernel_pool_docs_per_sec_n": lvl_n["pool_rate"],
             "kernel_pool_docs_per_sec_4n": lvl_4n["pool_rate"],
@@ -489,11 +598,12 @@ Deterministic synthetic PDF corpus ({s['corpus_docs']} docs, seed={SEED},
 heavy-tail page counts).  Each run is a single Spark action (read ->
 magic filter -> heavy-tail repartition -> mapInArrow extraction ->
 parquet text sink), executed in a fresh process whose whole process tree
-(JVM + forked Python workers) is CPU-pinned to exactly N / 4N cores -
-the honest sandbox proxy for N vs 4N executors.
+(JVM + forked Python workers) is CPU-pinned to exactly N / 4N worker
+cores (+1 reserved steal-probe core per level, so the worker ratio is
+exactly 4.0) - the honest sandbox proxy for N vs 4N executors.
 
-**Headline = the MEDIAN of {len(windows)} interleaved windows** (every
-window below; no best-of selection anywhere):
+**Headline = the MEDIAN of {len(windows)} windows** (every window
+below; no best-of selection anywhere):
 
 | run | parallelism | docs | seconds | docs/sec |
 |---|---|---|---|---|
@@ -515,25 +625,31 @@ the straggler tail the mean fraction hides):
 {_taskline('N ', s['tasks_n'])}
 {_taskline('4N', s['tasks_4n'])}
 
-Methodology - why paired normalization is the honest number on this box:
-the KVM host steals capacity in minutes-long windows (identical 32-core
-runs measured 21.5s vs 93.6s), so raw N-vs-4N comparisons are lottery
-draws.  Each window runs (pool-N, spark-N, pool-N, pool-4N, spark-4N,
-pool-4N) adjacent in time, where "pool" is an ``mp.Pool`` run of the
+Methodology - concurrent steal-probe normalization: the KVM host
+steals capacity unpredictably (identical 32-core runs measured 21.5s vs
+93.6s; even ADJACENT clean runs disagreed 3x, which broke the previous
+adjacent-pairing scheme).  Every measured run - Spark and ``mp.Pool``
+alike - therefore reserves one core for a fixed-work burn probe running
+CONCURRENTLY with the timed action; chunks/sec on that core is the
+capacity the host delivered DURING that exact run, and every rate is
+deflated by its own probe before comparison.  Per level the deflated
+Spark rate is divided by the deflated rate of an ``mp.Pool`` run of the
 SAME extraction kernel over the SAME doc mix (zero scheduling/
-serialization, perfect balance - the machine's achievable rate in that
-window): {s['kernel_pool_docs_per_sec_n']}
-docs/s at N, {s['kernel_pool_docs_per_sec_4n']} at 4N (ratio
-{s['kernel_pool_speedup']}x; the kernel is memory-bound, so 4x the cores
-on ONE shared memory bus never gives 4x - a real 4N-executor cluster
-has 4x the memory bandwidth too, which the normalization emulates).
-Spark holds {s['spark_fraction_of_pool_n']} of the achievable rate at N
-and {s['spark_fraction_of_pool_4n']} at 4N; efficiency is the ratio of
-those fractions - the share of hardware Spark keeps when cores
-quadruple, which host steal cannot fake in either direction.  A
+serialization, perfect balance - the workload-shaped ceiling):
+{s['kernel_pool_docs_per_sec_n']} docs/s at N,
+{s['kernel_pool_docs_per_sec_4n']} at 4N (ratio
+{s['kernel_pool_speedup']}x; the kernel is memory-bound, so 4x the
+cores on ONE shared memory bus never gives 4x - a real 4N-executor
+cluster has 4x the memory bandwidth too, which the pool normalization
+emulates).  Spark holds {s['spark_fraction_of_pool_n']} of the
+achievable rate at N and {s['spark_fraction_of_pool_4n']} at 4N;
+normalized efficiency is the ratio of those fractions - the share of
+hardware Spark keeps when cores quadruple.  Raw efficiency is the
+probe-deflated Spark ratio against the exact 4.0x worker factor.  A
 register-resident burn loop measured {s['hardware_cpu_speedup']}x on
 the same CPUs - kept as a host-steal indicator only, since a
-cache-resident burn overstates the ceiling for a memory-bound workload.
+cache-resident burn overstates the ceiling for a memory-bound
+workload.
 
 Each timed run is preceded by a ~2% warmup through the identical plan
 (spawns the Python workers, compiles codegen, reads footers), so the

@@ -323,3 +323,78 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Union near-dup PAIRS into duplicate CLUSTERS: (node, component)
+    where component = the minimum id reachable through the pair graph -
+    the canonical-document label a training-data dedup keeps.
+
+    Min-label propagation: each round every node takes the smallest
+    label among itself and its neighbors; converged when nothing
+    changes.  Rounds needed = graph diameter, and near-dup clusters are
+    shallow (pairs come from banded LSH, so clusters are cliques-ish) -
+    single digits in practice; ``max_iter`` is a hostile-input bound.
+
+    Scale notes (10^9 nodes):
+    - each round is one join + one groupBy on the edge list - the same
+      shuffle shape as the LSH pair-join that produced the edges, and
+      edges are BOUNDED by the upstream bucket caps (max_bucket /
+      max_df), so no round can blow up past the pair stage that fed it;
+    - ``localCheckpoint`` after each round truncates the lineage - an
+      iterative join would otherwise re-execute every previous round on
+      each action (exponential plan growth is THE classic iterative-
+      Spark failure);
+    - the convergence probe is a count on the changed-label frame - one
+      small action per round, not a collect of labels.
+    """
+    edges = pairs.select(F.col(a_col).cast("long").alias("src"),
+                         F.col(b_col).cast("long").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges.dst == labels.node)
+               .groupBy("src").agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(nbr, labels.node == nbr.src, "left")
+                      .select("node",
+                              F.least(F.col("component"),
+                                      F.coalesce("nbr_min",
+                                                 F.col("component")))
+                              .alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def sample_by_hash(df: DataFrame, key_col: str,
+                   rate_per_mille: int | Column,
+                   seed: str = "s0") -> DataFrame:
+    """Deterministic keyed sampling: keep rows whose portable key hash
+    lands under ``rate_per_mille``/1000.
+
+    Training-data pipelines need samples that are (a) reproducible
+    across runs/retries/engines and (b) consistent per key (a url is in
+    or out everywhere).  ``rand()`` gives neither.  The hash is the
+    repo's portable md5 fold (integer, engine-exact in DuckDB), salted
+    by ``seed`` so different sampling stages draw independently.
+
+    ``rate_per_mille`` may be a Column for stratified rates (e.g.
+    downsample the dominant language, keep the tail) - still one
+    codegen'd filter, no shuffle, pushdown-friendly."""
+    rate = (F.lit(rate_per_mille) if isinstance(rate_per_mille, int)
+            else rate_per_mille)
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed),
+                                          F.col(key_col).cast("string"))),
+                           1, 15), 16, 10).cast("long")
+    return df.filter(F.pmod(h, F.lit(1000)) < rate)

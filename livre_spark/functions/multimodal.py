@@ -5,9 +5,11 @@ signatures - is format-agnostic.  ``decode_image`` really decodes
 **PNG** (8/16-bit gray/RGB/palette/alpha, Adam7 interlace, multi-chunk
 IDAT, CRC-checked, all five row filters via the shared ``pdf.filters``
 PNG unfilter), **baseline JPEG** (functions/jpeg.py: Huffman + IDCT +
-YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), **PPM/PGM** (binary P6/P5)
-and **BMP** (24-bit uncompressed) in pure Python - no PIL/libvips in
-this container.  Remaining formats (GIF/WebP; progressive JPEG) raise
+YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), **GIF** (functions/gif.py:
+LSB-first LZW, interlace, first frame of animations), **PPM/PGM**
+(binary P6/P5) and **BMP** (24-bit uncompressed) in pure Python - no
+PIL/libvips in this container.  Remaining formats (WebP/TIFF;
+progressive JPEG) raise
 ``NotImplementedError``, contained into the ``error`` column like every
 other per-row failure - with ``image_dimensions`` still recovering
 header width/height for those rows.  ``fake=True`` keeps the
@@ -267,15 +269,18 @@ def decode_image(buf: bytes, fake: bool = False):
     elif buf[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
         w, h, samples = decode_jpeg(buf)
+    elif buf[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+        w, h, samples = decode_gif(buf)
     elif buf[:2] in (b"P5", b"P6"):
         w, h, samples = _decode_ppm(buf)
     elif buf[:2] == b"BM":
         w, h, samples = _decode_bmp(buf)
     else:
         raise NotImplementedError(
-            "unrecognized image format (PNG/JPEG-baseline/PPM/PGM/BMP "
-            "decode in pure Python; GIF/WebP etc. need a codec library "
-            "not in this container)")
+            "unrecognized image format (PNG/JPEG-baseline/GIF/PPM/PGM/"
+            "BMP decode in pure Python; WebP/TIFF etc. need a codec "
+            "library not in this container)")
     return w, h, _pixel_features(samples)
 
 
@@ -292,6 +297,9 @@ def image_dimensions(buf: bytes) -> tuple[int, int] | None:
             from .jpeg import jpeg_dimensions
             w, h, _nc = jpeg_dimensions(buf)
             return w, h
+        if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 10:
+            w, h = struct.unpack_from("<HH", buf, 6)
+            return int(w), int(h)
         if buf[:2] == b"BM" and len(buf) >= 26:
             w, h = struct.unpack_from("<ii", buf, 18)
             return int(w), abs(int(h))

@@ -53,8 +53,11 @@ def test_png_corruption_contained():
     from livre_spark.functions.jpeg import JpegError
     with pytest.raises(JpegError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg soi")  # truncated segment
+    from livre_spark.functions.gif import GifError
+    with pytest.raises(GifError):
+        decode_image(b"GIF89a rest")  # truncated screen descriptor
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a rest")  # GIF still needs a codec
+        decode_image(b"RIFF....WEBP")  # WebP still needs a codec
 
 
 @pytest.mark.parametrize("gray", [False, True])
@@ -100,7 +103,7 @@ def test_spark_real_decode(spark):
         [(1, "image", bytearray(encode_png(w, h, png_px))),
          (2, "image", bytearray(encode_ppm(w, h, ppm_px))),
          (3, "image", bytearray(encode_bmp(w, h, png_px))),
-         (4, "image", bytearray(b"GIF89a no codec")),
+         (4, "image", bytearray(b"RIFF....WEBP no codec")),
          (5, "image", bytearray(encode_png(w, h, png_px)[:30])),
          (6, "image", bytearray(b"\xff\xd8\xffjpeg"))],
         "media_id long, kind string, content binary")
@@ -286,3 +289,67 @@ def test_unsupported_codec_rows_keep_header_dimensions():
     assert (row["width"], row["height"]) == (24, 17)
     assert row["features"] is None
     assert "progressive" in row["error"]
+
+
+# --- GIF goldens -------------------------------------------------------------
+
+def _gif_case(w, h, n_colors, seed=0):
+    palette = bytes(((i * 53 + c * 17 + seed) & 0xFF)
+                    for i in range(n_colors) for c in range(3))
+    idx = bytes(((x * 3 + y * 7 + seed) % n_colors)
+                for y in range(h) for x in range(w))
+    return idx, palette
+
+
+@pytest.mark.parametrize("n_colors", [2, 4, 16, 256])
+def test_gif_golden(n_colors):
+    from livre_spark.functions.gif import encode_gif
+    w, h = 13, 9
+    idx, palette = _gif_case(w, h, n_colors)
+    gw, gh, feats = decode_image(encode_gif(w, h, idx, palette))
+    rgb = b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(rgb)
+
+
+def test_gif_interlaced_matches_progressive():
+    from livre_spark.functions.gif import decode_gif, encode_gif
+    for w, h in [(1, 1), (8, 8), (13, 9), (17, 23)]:
+        idx, palette = _gif_case(w, h, 16, seed=3)
+        plain = decode_gif(encode_gif(w, h, idx, palette))
+        inter = decode_gif(encode_gif(w, h, idx, palette, interlace=True))
+        assert inter == plain
+
+
+def test_gif_lzw_width_growth_and_big_image():
+    """>4096 distinct runs force LZW code-width growth through 12 bits
+    and a mid-stream table reset - the encoder/decoder width sync."""
+    from livre_spark.functions.gif import decode_gif, encode_gif
+    w, h = 101, 97
+    idx, palette = _gif_case(w, h, 256, seed=7)
+    gw, gh, rgb = decode_gif(encode_gif(w, h, idx, palette))
+    exp = b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
+    assert (gw, gh) == (w, h) and rgb == exp
+
+
+def test_gif_first_frame_of_animation():
+    from livre_spark.functions.gif import decode_gif, encode_gif
+    w, h = 7, 5
+    idx, palette = _gif_case(w, h, 4)
+    buf = encode_gif(w, h, idx, palette, animated_tail=True)
+    gw, gh, rgb = decode_gif(buf)
+    exp = b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
+    assert (gw, gh, rgb) == (w, h, exp)
+
+
+def test_gif_corruption_contained():
+    from livre_spark.functions.gif import GifError, encode_gif
+    w, h = 7, 5
+    idx, palette = _gif_case(w, h, 4)
+    buf = encode_gif(w, h, idx, palette)
+    with pytest.raises(GifError):
+        decode_image(buf[:20])          # truncated mid-frame
+    with pytest.raises(GifError):
+        decode_image(buf[:6])           # no screen descriptor
+    from livre_spark.functions.multimodal import image_dimensions
+    assert image_dimensions(buf) == (w, h)
