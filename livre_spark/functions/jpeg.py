@@ -1,23 +1,29 @@
-"""Pure-Python baseline JPEG (ITU-T T.81) codec for the multimodal path.
+"""Pure-Python JPEG (ITU-T T.81) codec for the multimodal path.
 
 The reference rejects ``DCTDecode`` outright (src/filtering.rs:50-53 -
 image codecs are out of its text-extraction scope), and this container
 has no codec library - but JPEG is the most common image format in
-crawls, so ``decode_jpeg`` implements baseline sequential DCT for real:
-marker parse (DQT/DHT/SOF0/DRI/SOS), canonical Huffman entropy decode
-with byte unstuffing and restart markers, dequantize + dezigzag,
-float64 IDCT (orthonormal DCT-II basis, exact to rounding), nearest
-upsampling of subsampled chroma, and BT.601 YCbCr->RGB.  Grayscale and
-3-component scans with any baseline sampling grid (4:4:4, 4:2:2, 4:2:0)
-are covered; progressive (SOF2), arithmetic coding and 12-bit precision
-raise ``NotImplementedError`` - ``jpeg_dimensions`` still recovers
-width/height from ANY SOFn header so those rows keep their metadata.
+crawls, so ``decode_jpeg`` implements it for real: baseline sequential
+DCT (SOF0/1) AND progressive (SOF2 - spectral selection + successive
+approximation, the libjpeg-default script shape).  Scans decode into
+per-component coefficient arrays (marker parse DQT/DHT/SOFn/DRI/SOS,
+canonical Huffman with byte unstuffing and restart markers, DC
+first/refine, AC first with EOB runs, AC refinement per T.81 G.1.2.3);
+dequantize + orthonormal float64 IDCT + nearest chroma upsampling +
+BT.601 YCbCr->RGB run once at the end, so progressive and baseline
+files carrying the same coefficients decode BYTE-IDENTICALLY - the
+property the fixtures pin.  Grayscale and 3-component frames at any
+baseline sampling grid (4:4:4, 4:2:2, 4:2:0); arithmetic coding and
+12-bit precision raise ``NotImplementedError`` - ``jpeg_dimensions``
+still recovers width/height from ANY SOFn header so those rows keep
+their metadata.
 
-``encode_jpeg`` is the deterministic fixture twin (genimg-style): same
-pipeline forward, canonical single-length Huffman tables built so the
-all-ones codeword stays unused.  Constant-color images round-trip
-EXACTLY (DC-only blocks, quantizer 1); gradients round-trip within
-quantization tolerance - both pinned in tests/test_multimodal_decode.py.
+``encode_jpeg`` / ``encode_jpeg_progressive`` are the deterministic
+fixture twins (genimg-style): same pipeline forward, canonical
+single-length Huffman tables built so the all-ones codeword stays
+unused.  Constant-color images round-trip EXACTLY (DC-only blocks,
+quantizer 1); gradients round-trip within quantization tolerance - all
+pinned in tests/test_multimodal_decode.py.
 """
 
 from __future__ import annotations
@@ -214,15 +220,261 @@ def jpeg_dimensions(buf: bytes) -> tuple[int, int, int]:
 
 # --- decoder -----------------------------------------------------------------
 
+def _all_segments(buf: bytes):
+    """Yield (marker, payload, payload_pos) across the WHOLE stream,
+    skipping the entropy-coded data that follows each SOS (progressive
+    files carry many scans)."""
+    if buf[:2] != b"\xff\xd8":
+        raise JpegError("bad SOI")
+    pos = 2
+    n = len(buf)
+    while pos + 2 <= n:
+        if buf[pos] != 0xFF:
+            raise JpegError(f"marker desync at {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise JpegError("truncated segment")
+        (length,) = struct.unpack_from(">H", buf, pos + 2)
+        payload = buf[pos + 4 : pos + 2 + length]
+        if len(payload) != length - 2:
+            raise JpegError("truncated segment")
+        yield marker, payload, pos + 4
+        pos += 2 + length
+        if marker == 0xDA:
+            # skip entropy bytes to the next true marker (FF00 stuffing
+            # and RSTn belong to the scan)
+            while pos < n:
+                if buf[pos] != 0xFF:
+                    pos += 1
+                elif pos + 1 < n and (buf[pos + 1] == 0x00
+                                      or 0xD0 <= buf[pos + 1] <= 0xD7):
+                    pos += 2
+                else:
+                    break
+            if pos >= n:
+                raise JpegError("ran off the end in entropy data")
+    raise JpegError("no EOI")
+
+
+def _block_baseline(reader: _BitReader, dc: _HuffTable, ac: _HuffTable,
+                    coef: np.ndarray, pred: int) -> int:
+    """Sequential full-band block: DC diff + AC run-length."""
+    size = reader.huff(dc)
+    if size > 11:
+        raise JpegError("DC size out of range")
+    pred += _extend(reader.bits(size), size)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.huff(ac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC index overflow")
+        coef[ZIGZAG[k]] = _extend(reader.bits(s), s)
+        k += 1
+    return pred
+
+
+def _dc_first(reader: _BitReader, dc: _HuffTable, coef: np.ndarray,
+              pred: int, al: int) -> int:
+    size = reader.huff(dc)
+    if size > 11:
+        raise JpegError("DC size out of range")
+    pred += _extend(reader.bits(size), size)
+    coef[0] = pred << al
+    return pred
+
+
+def _dc_refine(reader: _BitReader, coef: np.ndarray, al: int) -> None:
+    # two's-complement OR: -6 | 1 == -5, exactly the T.81 successive-
+    # approximation bit append for negative DC values
+    if reader.bits(1):
+        coef[0] = int(coef[0]) | (1 << al)
+
+
+def _ac_first(reader: _BitReader, ac: _HuffTable, coef: np.ndarray,
+              ss: int, se: int, al: int, eobrun: int) -> int:
+    """Spectral-selection first pass (Ah=0): values arrive <<Al; EOB
+    runs span whole blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(ac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.bits(r)
+            return eobrun - 1  # this block is the first of the run
+        k += r
+        if k > se:
+            raise JpegError("AC index overflow")
+        coef[ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader: _BitReader, ac: _HuffTable, coef: np.ndarray,
+               ss: int, se: int, al: int, eobrun: int) -> int:
+    """Successive-approximation AC refinement (T.81 G.1.2.3 / IJG
+    decode_mcu_AC_refine): already-significant coefficients absorb one
+    correction bit whenever the scan passes them; newly-significant
+    ones arrive as +-1<<Al after a run of zero-HISTORY positions."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff(ac)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0 and r < 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            newval = 0
+            if s:
+                if s != 1:
+                    raise JpegError("refinement size != 1")
+                newval = p1 if reader.bits(1) else -p1
+            # advance over r zero-history positions, correcting the
+            # nonzero-history coefficients passed on the way
+            while k <= se:
+                z = ZIGZAG[k]
+                cur = int(coef[z])
+                if cur != 0:
+                    if reader.bits(1) and (abs(cur) & p1) == 0:
+                        coef[z] = cur + (p1 if cur > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            cur = int(coef[z])
+            if cur != 0:
+                if reader.bits(1) and (abs(cur) & p1) == 0:
+                    coef[z] = cur + (p1 if cur > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(buf: bytes, scan: dict, frame: dict, progressive: bool,
+                 mcux: int, mcuy: int) -> None:
+    byid = {c["id"]: c for c in frame["comps"]}
+    sel = []
+    for cid, td, ta in scan["sel"]:
+        c = byid.get(cid)
+        if c is None:
+            raise JpegError("scan/frame component mismatch")
+        sel.append((c, scan["huff"].get((0, td)), scan["huff"].get((1, ta))))
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if progressive:
+        if ss > se or se > 63 or (ss == 0) != (se == 0):
+            raise JpegError("bad spectral band")
+        if ss > 0 and len(sel) != 1:
+            raise JpegError("interleaved AC scan")
+    elif not (ss == 0 and se == 63 and ah == 0 and al == 0):
+        raise NotImplementedError("multi-band sequential scan")
+    # DC-first scans huff-decode sizes; DC-refine reads raw bits only;
+    # AC scans (and the baseline full band) huff-decode run/size pairs
+    needs_dc = ss == 0 and (not progressive or ah == 0)
+    needs_ac = not progressive or ss > 0
+    for c, dc, ac in sel:
+        if needs_dc and dc is None:
+            raise JpegError("missing DHT table")
+        if needs_ac and ac is None:
+            raise JpegError("missing DHT table")
+    reader = _BitReader(buf, scan["pos"])
+    dri = scan["dri"]
+    pred = [0] * len(sel)
+    eobrun = 0
+    count = 0
+
+    def maybe_restart() -> None:
+        nonlocal pred, eobrun
+        if dri and count and count % dri == 0:
+            reader.restart()
+            pred = [0] * len(sel)
+            eobrun = 0
+
+    if len(sel) > 1:  # interleaved: MCU order (DC or full-band only)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for si, (c, dc, ac) in enumerate(sel):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = c["coef"][my * c["v"] + by,
+                                             mx * c["h"] + bx]
+                            if not progressive:
+                                pred[si] = _block_baseline(
+                                    reader, dc, ac, coef, pred[si])
+                            elif ah == 0:
+                                pred[si] = _dc_first(reader, dc, coef,
+                                                     pred[si], al)
+                            else:
+                                _dc_refine(reader, coef, al)
+                count += 1
+    else:  # non-interleaved: the component's OWN block grid, row-major
+        c, dc, ac = sel[0]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                maybe_restart()
+                coef = c["coef"][by, bx]
+                if not progressive:
+                    pred[0] = _block_baseline(reader, dc, ac, coef,
+                                              pred[0])
+                elif ss == 0:
+                    if ah == 0:
+                        pred[0] = _dc_first(reader, dc, coef, pred[0], al)
+                    else:
+                        _dc_refine(reader, coef, al)
+                elif ah == 0:
+                    eobrun = _ac_first(reader, ac, coef, ss, se, al,
+                                       eobrun)
+                else:
+                    eobrun = _ac_refine(reader, ac, coef, ss, se, al,
+                                        eobrun)
+                count += 1
+
+
 def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
-    """Baseline JPEG -> (width, height, interleaved 8-bit samples);
-    1 component stays grayscale, 3 components convert YCbCr->RGB."""
+    """Baseline OR progressive JPEG -> (width, height, 8-bit samples);
+    1 component stays grayscale, 3 components convert YCbCr->RGB.
+
+    Scans decode into per-component coefficient arrays (baseline is the
+    one-scan special case of the same machinery); dequantize + IDCT +
+    upsample + color happen once at the end, so a progressive file and
+    a baseline file carrying the same quantized coefficients decode to
+    BYTE-IDENTICAL samples - the property the fixtures pin."""
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
-    for marker, payload, ppos in _segments(buf):
+    scans: list[dict] = []
+    for marker, payload, ppos in _all_segments(buf):
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(payload):
@@ -255,9 +507,11 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 htables[(tc, th)] = _HuffTable(counts, syms)
                 i += 17 + total
         elif marker in _SOF_ALL:
-            if marker == 0xC2:
-                raise NotImplementedError("progressive JPEG")
-            if marker != 0xC0 and marker != 0xC1:
+            if marker in (0xC0, 0xC1):
+                progressive = False
+            elif marker == 0xC2:
+                progressive = True
+            else:
                 raise NotImplementedError(f"JPEG SOF{marker - 0xC0}")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
@@ -265,89 +519,64 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
             if nc not in (1, 3):
                 raise NotImplementedError(f"JPEG {nc}-component")
             comps = []
-            for c in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", payload, 6 + 3 * c)
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", payload,
+                                                 6 + 3 * ci)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS
-            ns = payload[0]
             if frame is None:
                 raise JpegError("SOS before SOF")
-            if ns != len(frame["comps"]):
-                raise NotImplementedError("multi-scan JPEG")
-            sel = {}
+            ns = payload[0]
+            sel = []
             for s in range(ns):
                 cs, tdta = payload[1 + 2 * s], payload[2 + 2 * s]
-                sel[cs] = (tdta >> 4, tdta & 0x0F)
-            scan = (sel, ppos + len(payload))
-    if frame is None or scan is None:
+                sel.append((cs, tdta >> 4, tdta & 0x0F))
+            ss = payload[1 + 2 * ns]
+            se = payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            scans.append({"sel": sel, "ss": ss, "se": se,
+                          "ah": ahal >> 4, "al": ahal & 0x0F,
+                          "pos": ppos + len(payload),
+                          "huff": dict(htables),
+                          "dri": restart_interval})
+    if frame is None or not scans:
         raise JpegError("missing SOF/SOS")
-    sel, data_pos = scan
+    if not progressive and len(scans) > 1:
+        raise NotImplementedError("multi-scan sequential JPEG")
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     if w == 0 or h == 0:
         raise JpegError("bad dimensions")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+    if not (1 <= hmax <= 4 and 1 <= vmax <= 4) or \
+            any(c["h"] < 1 or c["v"] < 1 for c in comps):
         raise JpegError("bad sampling factors")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = []
     for c in comps:
-        if c["id"] not in sel:
-            raise JpegError("scan/frame component mismatch")
-        td, ta = sel[c["id"]]
-        c["dc"] = htables.get((0, td))
-        c["ac"] = htables.get((1, ta))
-        c["q"] = qtables.get(c["tq"])
-        if c["dc"] is None or c["ac"] is None or c["q"] is None:
-            raise JpegError("missing DHT/DQT table")
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                               dtype=np.float64))
-    reader = _BitReader(buf, data_pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                reader.restart()
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coeffs = np.zeros(64, dtype=np.int32)
-                        size = reader.huff(c["dc"])
-                        if size > 11:
-                            raise JpegError("DC size out of range")
-                        pred[ci] += _extend(reader.bits(size), size)
-                        coeffs[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(c["ac"])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC index overflow")
-                            coeffs[ZIGZAG[k]] = _extend(reader.bits(s), s)
-                            k += 1
-                        block = idct2((coeffs.reshape(8, 8)
-                                       * c["q"]).astype(np.float64)) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
+        comp_w = (w * c["h"] + hmax - 1) // hmax
+        comp_h = (h * c["v"] + vmax - 1) // vmax
+        c["bw"] = (comp_w + 7) // 8
+        c["bh"] = (comp_h + 7) // 8
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                             dtype=np.int32)
+    for scan in scans:
+        _decode_scan(buf, scan, frame, progressive, mcux, mcuy)
     out_planes = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
+    for c in comps:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise JpegError("missing DQT table")
+        bh_pad, bw_pad = c["coef"].shape[:2]
+        blocks = (c["coef"].reshape(-1, 8, 8) * q).astype(np.float64)
+        spatial = np.einsum("ij,njk,kl->nil", _DCT.T, blocks,
+                            _DCT) + 128.0
+        p = (spatial.reshape(bh_pad, bw_pad, 8, 8)
+             .transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8))
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
@@ -398,14 +627,12 @@ def _size_of(v: int) -> int:
     return abs(v).bit_length()
 
 
-def encode_jpeg(width: int, height: int, pixels: bytes, *,
-                gray: bool = False, subsampling: str = "444",
-                quant: int = 1, restart_interval: int = 0) -> bytes:
-    """Deterministic baseline JPEG from 8-bit samples (RGB or gray).
-
-    ``quant`` fills both quantizer tables uniformly: 1 keeps DCT
-    coefficients to rounding precision (constant-color images become
-    exact), larger values exercise real quantization loss."""
+def _plan_coefficients(width: int, height: int, pixels: bytes,
+                       gray: bool, subsampling: str, quant: int):
+    """Shared encoder front half: color transform, chroma subsample,
+    MCU padding, forward DCT + quantize.  Returns (samp, comp_blocks,
+    q, mcux, mcuy) with comp_blocks[ci] an (bh_pad, bw_pad, 8, 8) int32
+    array of quantized coefficients."""
     nc = 1 if gray else 3
     if len(pixels) != width * height * nc:
         raise ValueError("pixel buffer size mismatch")
@@ -442,26 +669,41 @@ def encode_jpeg(width: int, height: int, pixels: bytes, *,
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     q = np.full((8, 8), quant, dtype=np.int32)
-    # pad every plane to its MCU-aligned size (edge replicate)
-    padded = []
+    comp_blocks = []
     for (hs, vs), p in zip(samp, planes):
         ty, tx = mcuy * vs * 8, mcux * hs * 8
-        padded.append(np.pad(p, ((0, ty - p.shape[0]), (0, tx - p.shape[1])),
-                             mode="edge"))
-    # quantized coefficient blocks per component, MCU-interleaved order
-    dc_syms: list[list[int]] = [[] for _ in samp]
+        padded = np.pad(p, ((0, ty - p.shape[0]), (0, tx - p.shape[1])),
+                        mode="edge")
+        blocks = np.zeros((mcuy * vs, mcux * hs, 8, 8), dtype=np.int32)
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                block = padded[by * 8 : by * 8 + 8,
+                               bx * 8 : bx * 8 + 8] - 128.0
+                blocks[by, bx] = np.rint(dct2(block) / q).astype(np.int32)
+        comp_blocks.append(blocks)
+    return samp, comp_blocks, q, mcux, mcuy
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes, *,
+                gray: bool = False, subsampling: str = "444",
+                quant: int = 1, restart_interval: int = 0) -> bytes:
+    """Deterministic baseline JPEG from 8-bit samples (RGB or gray).
+
+    ``quant`` fills both quantizer tables uniformly: 1 keeps DCT
+    coefficients to rounding precision (constant-color images become
+    exact), larger values exercise real quantization loss."""
+    nc = 1 if gray else 3
+    samp, comp_blocks, q, mcux, mcuy = _plan_coefficients(
+        width, height, pixels, gray, subsampling, quant)
     mcus: list[list[tuple[int, np.ndarray]]] = []
-    pred = [0] * len(samp)
     for my in range(mcuy):
         for mx in range(mcux):
             mcu = []
-            for ci, ((hs, vs), p) in enumerate(zip(samp, padded)):
+            for ci, (hs, vs) in enumerate(samp):
                 for by in range(vs):
                     for bx in range(hs):
-                        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
-                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coeffs = np.rint(dct2(block) / q).astype(np.int32)
-                        mcu.append((ci, coeffs))
+                        mcu.append((ci, comp_blocks[ci][my * vs + by,
+                                                        mx * hs + bx]))
             mcus.append(mcu)
     # one shared DC and one shared AC table over the actual symbol sets
     ac_set: set[int] = set()
@@ -566,5 +808,268 @@ def encode_jpeg(width: int, height: int, pixels: bytes, *,
         count += 1
     writer.flush()
     out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# --- progressive encoder (fixture twin for the SOF2 decode paths) ------------
+
+class _SymCollector:
+    """Pass 1: record which Huffman symbols a scan will emit."""
+
+    def __init__(self):
+        self.syms: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.syms.add(s)
+
+    def bits(self, v: int, k: int) -> None:
+        pass
+
+
+class _ScanWriter:
+    """Pass 2: emit the scan with a built code map."""
+
+    def __init__(self, code: dict[int, tuple[int, int]]):
+        self.w = _BitWriter()
+        self.code = code
+
+    def sym(self, s: int) -> None:
+        ln, c = self.code[s]
+        self.w.bits(c, ln)
+
+    def bits(self, v: int, k: int) -> None:
+        if k:
+            self.w.bits(v, k)
+
+    def finish(self) -> bytes:
+        self.w.flush()
+        return bytes(self.w.out)
+
+
+def _pshift(v: int, al: int) -> int:
+    """T.81 point transform: sign-preserving |v| >> Al."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _emit_dc_first(out, blocks_iter, al: int) -> None:
+    pred = [0, 0, 0]
+    for ci, coef in blocks_iter:
+        # DC point transform is an ARITHMETIC shift (T.81 G.1.2.1);
+        # only AC uses the sign-preserving division _pshift.  The
+        # two's-complement floor pairs with the decoder's OR-refinement
+        v = int(coef[0, 0]) >> al
+        diff = v - pred[ci]
+        pred[ci] = v
+        size = _size_of(diff)
+        out.sym(size)
+        if size:
+            amp = diff if diff > 0 else diff + (1 << size) - 1
+            out.bits(amp, size)
+
+
+def _emit_dc_refine(out, blocks_iter, al: int) -> None:
+    for _ci, coef in blocks_iter:
+        out.bits((int(coef[0, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(out, blocks, ss: int, se: int, al: int) -> None:
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            out.sym(r << 4)
+            out.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for coef in blocks:
+        flat = coef.reshape(64)
+        zz = [_pshift(int(flat[ZIGZAG[k]]), al) for k in range(64)]
+        r = 0
+        any_sym = False
+        for k in range(ss, se + 1):
+            if zz[k] == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                out.sym(0xF0)
+                r -= 16
+            size = _size_of(zz[k])
+            out.sym((r << 4) | size)
+            v = zz[k]
+            amp = v if v > 0 else v + (1 << size) - 1
+            out.bits(amp, size)
+            r = 0
+            any_sym = True
+        if r > 0 or not any_sym:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(out, blocks, ss: int, se: int, al: int) -> None:
+    """Mirror of _ac_refine (IJG encode_mcu_AC_refine): corrections for
+    already-significant coefficients are buffered and flushed after the
+    symbol whose traversal the decoder reads them in."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            out.sym(r << 4)
+            out.bits(eobrun - (1 << r), r)
+            for b in pending:
+                out.bits(b, 1)
+            eobrun = 0
+            pending = []
+
+    for coef in blocks:
+        flat = coef.reshape(64)
+        absv = [abs(int(flat[ZIGZAG[k]])) >> al for k in range(64)]
+        sign = [1 if int(flat[ZIGZAG[k]]) > 0 else 0 for k in range(64)]
+        eob = ss - 1
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            temp = absv[k]
+            if temp == 0:
+                r += 1
+                continue
+            # emit required ZRLs BEFORE deciding correction-vs-new: the
+            # decoder reads the buffered correction bits during the ZRL
+            # traversal, so they must flush at the zero-history count,
+            # not at the next newly-significant symbol (IJG
+            # encode_mcu_AC_refine does exactly this)
+            while r > 15 and k <= eob:
+                flush_eob()
+                out.sym(0xF0)
+                for b in br:
+                    out.bits(b, 1)
+                br = []
+                r -= 16
+            if temp > 1:
+                # already significant from an earlier scan: one
+                # correction bit, read by the decoder as it passes
+                br.append(temp & 1)
+                continue
+            # newly significant (temp == 1)
+            flush_eob()
+            out.sym((r << 4) | 1)
+            out.bits(sign[k], 1)
+            for b in br:
+                out.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(width: int, height: int, pixels: bytes, *,
+                            gray: bool = False, subsampling: str = "444",
+                            quant: int = 1) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2) twin of ``encode_jpeg``.
+
+    Scan script mirrors the libjpeg default shape - interleaved DC
+    first pass at Al=1, DC refinement, then per-component AC spectral
+    bands (1-5, 6-63) each with a successive-approximation first pass
+    (Al=1) and a refinement pass (Ah=1, Al=0) - so all four progressive
+    decode paths (_dc_first/_dc_refine/_ac_first/_ac_refine) are
+    exercised.  Both files carry the SAME quantized coefficients, so
+    progressive and baseline decodes are byte-identical.
+    """
+    nc = 1 if gray else 3
+    samp, comp_blocks, q, mcux, mcuy = _plan_coefficients(
+        width, height, pixels, gray, subsampling, quant)
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hs, vs) in enumerate(samp):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, comp_blocks[ci][my * vs + by,
+                                                      mx * hs + bx]
+
+    def own_blocks(ci):
+        # the component's OWN (non-MCU-padded) grid, row-major - the
+        # non-interleaved scan order the decoder walks
+        hs, vs = samp[ci]
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        comp_w = (width * hs + hmax - 1) // hmax
+        comp_h = (height * vs + vmax - 1) // vmax
+        bw, bh = (comp_w + 7) // 8, (comp_h + 7) // 8
+        for by in range(bh):
+            for bx in range(bw):
+                yield comp_blocks[ci][by, bx]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(payload) + 2) + payload)
+
+    zz_q = np.empty(64, dtype=np.int32)
+    zz_q[:] = q.reshape(64)[ZIGZAG]
+    seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, nc))
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    seg(0xC2, bytes(sof))
+
+    def emit_scan(tc: int, run, comps_sel, ss, se, ah, al,
+                  needs_table: bool) -> None:
+        """Two-pass: collect symbols, build a table, emit DHT+SOS+data."""
+        if needs_table:
+            col = _SymCollector()
+            run(col)
+            syms = sorted(col.syms) or [0]
+            counts, symbols = _canonical_single_length(syms)
+            table = _HuffTable(counts, symbols)
+            code = {s: (ln, c) for (ln, c), s in table.lookup.items()}
+            seg(0xC4, bytes([(tc << 4)]) + bytes(counts) + symbols)
+            wr = _ScanWriter(code)
+        else:
+            wr = _ScanWriter({})
+        run(wr)
+        sos = bytearray([len(comps_sel)])
+        for cid in comps_sel:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        out.extend(wr.finish())
+
+    all_ids = [ci + 1 for ci in range(nc)]
+    # 1. DC first (interleaved, Al=1)
+    emit_scan(0, lambda o: _emit_dc_first(o, mcu_blocks(), 1),
+              all_ids, 0, 0, 0, 1, needs_table=True)
+    # 2. DC refine (raw bits)
+    emit_scan(0, lambda o: _emit_dc_refine(o, mcu_blocks(), 0),
+              all_ids, 0, 0, 1, 0, needs_table=False)
+    # 3+4. per component: AC bands first pass at Al=1
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            emit_scan(1, lambda o, ci=ci, ss=ss, se=se: _emit_ac_first(
+                o, own_blocks(ci), ss, se, 1),
+                [ci + 1], ss, se, 0, 1, needs_table=True)
+    # 5+6. per component: AC refinement to full precision
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            emit_scan(1, lambda o, ci=ci, ss=ss, se=se: _emit_ac_refine(
+                o, own_blocks(ci), ss, se, 0),
+                [ci + 1], ss, se, 1, 0, needs_table=True)
     out.extend(b"\xff\xd9")
     return bytes(out)

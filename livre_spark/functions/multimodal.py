@@ -4,12 +4,13 @@ The Spark-side machinery - schema, Arrow batching, partitioning, UDF
 signatures - is format-agnostic.  ``decode_image`` really decodes
 **PNG** (8/16-bit gray/RGB/palette/alpha, Adam7 interlace, multi-chunk
 IDAT, CRC-checked, all five row filters via the shared ``pdf.filters``
-PNG unfilter), **baseline JPEG** (functions/jpeg.py: Huffman + IDCT +
-YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), **GIF** (functions/gif.py:
+PNG unfilter), **JPEG** (functions/jpeg.py: baseline AND
+progressive/SOF2, Huffman + IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, restart
+markers), **GIF** (functions/gif.py:
 LSB-first LZW, interlace, first frame of animations), **PPM/PGM**
 (binary P6/P5) and **BMP** (24-bit uncompressed) in pure Python - no
 PIL/libvips in this container.  Remaining formats (WebP/TIFF;
-progressive JPEG) raise
+arithmetic JPEG) raise
 ``NotImplementedError``, contained into the ``error`` column like every
 other per-row failure - with ``image_dimensions`` still recovering
 header width/height for those rows.  ``fake=True`` keeps the
@@ -278,7 +279,7 @@ def decode_image(buf: bytes, fake: bool = False):
         w, h, samples = _decode_bmp(buf)
     else:
         raise NotImplementedError(
-            "unrecognized image format (PNG/JPEG-baseline/GIF/PPM/PGM/"
+            "unrecognized image format (PNG/JPEG/GIF/PPM/PGM/"
             "BMP decode in pure Python; WebP/TIFF etc. need a codec "
             "library not in this container)")
     return w, h, _pixel_features(samples)

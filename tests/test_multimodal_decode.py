@@ -255,8 +255,8 @@ def test_jpeg_through_decode_image():
     assert feats == _expected_features(px)
 
 
-def test_jpeg_dimensions_and_progressive_metadata():
-    """SOF2 (progressive) rows keep width/height metadata while the
+def test_jpeg_dimensions_and_arithmetic_metadata():
+    """SOF9 (arithmetic) rows keep width/height metadata while the
     decode error is recorded - the header scan works on any SOFn."""
     from livre_spark.functions.jpeg import (
         decode_jpeg, encode_jpeg, jpeg_dimensions,
@@ -265,30 +265,73 @@ def test_jpeg_dimensions_and_progressive_metadata():
     buf = bytearray(encode_jpeg(24, 17, _smooth_rgb(24, 17)))
     assert jpeg_dimensions(bytes(buf)) == (24, 17, 3)
     assert image_dimensions(bytes(buf)) == (24, 17)
-    # flip SOF0 -> SOF2: dimensions still parse, decode refuses
+    # flip SOF0 -> SOF9: dimensions still parse, decode refuses
     sof = bytes(buf).index(b"\xff\xc0")
-    buf[sof + 1] = 0xC2
+    buf[sof + 1] = 0xC9
     assert jpeg_dimensions(bytes(buf)) == (24, 17, 3)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
 
 
+@pytest.mark.parametrize("sub, q", [("444", 1), ("420", 2), ("422", 3)])
+def test_jpeg_progressive_matches_baseline(sub, q):
+    """Progressive (SOF2) and baseline files carry the SAME quantized
+    coefficients, so their decodes must be BYTE-IDENTICAL - this pins
+    all four progressive paths (DC first/refine, AC spectral-selection
+    first pass, AC successive-approximation refinement with EOB runs)
+    against the independently-tested sequential decoder."""
+    from livre_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+    w, h = 19, 13
+    px = _smooth_rgb(w, h)
+    assert decode_jpeg(encode_jpeg_progressive(w, h, px, subsampling=sub,
+                                               quant=q)) == \
+        decode_jpeg(encode_jpeg(w, h, px, subsampling=sub, quant=q))
+
+
+def test_jpeg_progressive_noise_stress():
+    """Random pixels maximize AC symbol diversity (ZRL, EOB runs,
+    corrections interleaved with new significances) - the encoder/
+    decoder refinement sync dies loudly here if either side drifts."""
+    import random
+    from livre_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+    rnd = random.Random(7)
+    for w, h, sub, q in [(40, 33, "420", 8), (24, 24, "422", 1),
+                         (17, 9, "444", 16)]:
+        px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        assert decode_jpeg(encode_jpeg_progressive(
+            w, h, px, subsampling=sub, quant=q)) == \
+            decode_jpeg(encode_jpeg(w, h, px, subsampling=sub, quant=q))
+
+
+def test_jpeg_progressive_through_decode_image():
+    from livre_spark.functions.jpeg import encode_jpeg_progressive
+    w, h = 8, 8
+    px = bytes([10, 20, 250] * (w * h))
+    gw, gh, feats = decode_image(encode_jpeg_progressive(w, h, px))
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(px)
+
+
 def test_unsupported_codec_rows_keep_header_dimensions():
-    """media_feature_batches: a progressive JPEG lands with width/height
-    populated AND the error recorded."""
+    """media_feature_batches: an arithmetic-coded JPEG lands with
+    width/height populated AND the error recorded."""
     import pandas as pd
     from livre_spark.functions.jpeg import encode_jpeg
     from livre_spark.functions.multimodal import media_feature_batches
     buf = bytearray(encode_jpeg(24, 17, _smooth_rgb(24, 17)))
     sof = bytes(buf).index(b"\xff\xc0")
-    buf[sof + 1] = 0xC2
+    buf[sof + 1] = 0xC9
     batch = pd.DataFrame({"media_id": [1], "kind": ["image"],
                           "content": [bytes(buf)]})
     (out,) = list(media_feature_batches(iter([batch]), fake=False))
     row = out.iloc[0]
     assert (row["width"], row["height"]) == (24, 17)
     assert row["features"] is None
-    assert "progressive" in row["error"]
+    assert "SOF9" in row["error"]
 
 
 # --- GIF goldens -------------------------------------------------------------
