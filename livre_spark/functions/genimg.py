@@ -1,5 +1,5 @@
-"""Deterministic synthetic image writers (PNG / PPM / BMP) for golden
-fixtures - the image-side analogue of pdf/genpdf.py.
+"""Deterministic synthetic media writers (PNG / PPM / BMP / WAV) for
+golden fixtures - the media-side analogue of pdf/genpdf.py.
 
 Everything is pure stdlib (zlib CRC + deflate); same inputs, same bytes,
 so decode goldens hold across runs.  ``filter_type`` selects the PNG
@@ -100,3 +100,135 @@ def encode_bmp(width: int, height: int, pixels_rgb: bytes) -> bytes:
               + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
                             0, len(body), 2835, 2835, 0, 0))
     return header + bytes(body)
+
+
+def encode_wav(rate: int, channels: int, samples16: list[int]) -> bytes:
+    """RIFF/WAVE PCM 16-bit LE golden writer (interleaved samples)."""
+    data = b"".join(struct.pack("<h", s) for s in samples16)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits: repeat packets for runs >= 3, literals otherwise."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
+                compression: str = "none", predictor: int = 1,
+                endian: str = "<", rows_per_strip: int | None = None) -> bytes:
+    """Baseline strip TIFF golden writer (8-bit gray/RGB/RGBA;
+    none/lzw/packbits; optional horizontal-differencing predictor)."""
+    from ..pdf.filters import lzw_encode
+
+    assert len(pixels) == width * height * spp
+    e = endian
+    if rows_per_strip is None:
+        rows_per_strip = max(1, (height + 1) // 2)  # >= 2 strips usually
+    row_bytes = width * spp
+    strips = []
+    for y0 in range(0, height, rows_per_strip):
+        rows = pixels[y0 * row_bytes : (y0 + min(rows_per_strip,
+                                                 height - y0)) * row_bytes]
+        if predictor == 2:
+            enc = bytearray(rows)
+            for r in range(0, len(enc), row_bytes):
+                for i in range(row_bytes - 1, spp - 1, -1):
+                    enc[r + i] = (enc[r + i] - enc[r + i - spp]) & 0xFF
+            rows = bytes(enc)
+        if compression == "lzw":
+            rows = lzw_encode(rows)
+        elif compression == "packbits":
+            rows = packbits_encode(rows)
+        elif compression != "none":
+            raise ValueError(compression)
+        strips.append(rows)
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+
+    entries = []  # (tag, type, count, value_bytes)
+    def short(v): return struct.pack(e + "H", v)
+    def long_(v): return struct.pack(e + "I", v)
+    entries.append((256, 4, 1, long_(width)))
+    entries.append((257, 4, 1, long_(height)))
+    entries.append((258, 3, spp, b"".join(short(8) for _ in range(spp))))
+    entries.append((259, 3, 1, short(comp_code)))
+    entries.append((262, 3, 1, short(1 if spp == 1 else 2)))
+    # 273/279 filled after layout
+    entries.append((273, 4, len(strips), None))
+    entries.append((277, 3, 1, short(spp)))
+    entries.append((278, 4, 1, long_(rows_per_strip)))
+    entries.append((279, 4, len(strips), None))
+    if predictor == 2:
+        entries.append((317, 3, 1, short(predictor)))
+
+    header = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(
+        e + "I", 8)
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext = bytearray()
+    ext_base = 8 + ifd_size
+    placed = []
+    for tag, typ, count, val in entries:
+        placed.append([tag, typ, count, val, None])
+    # first pass: compute external area for known values
+    for p in placed:
+        if p[3] is not None and len(p[3]) > 4:
+            p[4] = ext_base + len(ext)
+            ext += p[3]
+    # strip offset/count arrays (external when > 1 strip)
+    off_arr_pos = ext_base + len(ext)
+    ext += b"\x00" * (4 * len(strips))
+    cnt_arr_pos = ext_base + len(ext)
+    ext += b"\x00" * (4 * len(strips))
+    data_base = ext_base + len(ext)
+    offs = []
+    pos = data_base
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    struct.pack_into(e + "I" * len(strips), ext,
+                     off_arr_pos - ext_base, *offs)
+    struct.pack_into(e + "I" * len(strips), ext, cnt_arr_pos - ext_base,
+                     *[len(s) for s in strips])
+    ifd = bytearray(struct.pack(e + "H", len(placed)))
+    for tag, typ, count, val, voff in placed:
+        ifd += struct.pack(e + "HHI", tag, typ, count)
+        if tag == 273:
+            if len(strips) == 1:
+                ifd += long_(offs[0])
+            else:
+                ifd += long_(off_arr_pos)
+        elif tag == 279:
+            if len(strips) == 1:
+                ifd += long_(len(strips[0]))
+            else:
+                ifd += long_(cnt_arr_pos)
+        elif val is not None and len(val) > 4:
+            ifd += long_(voff)
+        else:
+            ifd += (val or b"") + b"\x00" * (4 - len(val or b""))
+    ifd += long_(0)  # no next IFD
+    return header + bytes(ifd) + bytes(ext) + b"".join(strips)

@@ -8,9 +8,11 @@ PNG unfilter), **JPEG** (functions/jpeg.py: baseline AND
 progressive/SOF2, Huffman + IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, restart
 markers), **GIF** (functions/gif.py:
 LSB-first LZW, interlace, first frame of animations), **PPM/PGM**
-(binary P6/P5) and **BMP** (24-bit uncompressed) in pure Python - no
-PIL/libvips in this container.  Remaining formats (WebP/TIFF;
-arithmetic JPEG) raise
+(binary P6/P5), **BMP** (24-bit uncompressed), **TIFF** (strips,
+none/LZW/PackBits, horizontal predictor, either endianness) and **WAV**
+audio (RIFF PCM 8/16-bit; the metadata slots carry sample rate /
+channels) in pure Python - no PIL/libvips in this container.
+Remaining formats (WebP; arithmetic JPEG; tiled/16-bit TIFF) raise
 ``NotImplementedError``, contained into the ``error`` column like every
 other per-row failure - with ``image_dimensions`` still recovering
 header width/height for those rows.  ``fake=True`` keeps the
@@ -247,6 +249,175 @@ def _pixel_features(samples: bytes) -> list[float]:
     return [float(x) for x in (hist / total).astype(np.float32)]
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE): n in 0..127 -> copy n+1 literals;
+    n in -127..-1 -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i : i + c + 1]
+            if i + c + 1 > n:
+                raise ImageDecodeError("truncated PackBits literal")
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                raise ImageDecodeError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+def _tiff_tags(buf: bytes) -> dict[int, list[int]]:
+    """First-IFD tag table (integer-typed tags only)."""
+    if buf[:4] == b"II*\x00":
+        e = "<"
+    elif buf[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ImageDecodeError("bad TIFF signature")
+    (ifd_off,) = struct.unpack_from(e + "I", buf, 4)
+    if ifd_off + 2 > len(buf):
+        raise ImageDecodeError("truncated IFD")
+    (n_tags,) = struct.unpack_from(e + "H", buf, ifd_off)
+    tags: dict[int, list[int]] = {}
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4}
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        if off + 12 > len(buf):
+            raise ImageDecodeError("truncated IFD entry")
+        tag, typ, count = struct.unpack_from(e + "HHI", buf, off)
+        if typ not in sizes:
+            continue  # rationals etc: not needed for the layout tags
+        size = sizes[typ] * count
+        if size <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(e + "I", buf, off + 8)
+        if voff + size > len(buf):
+            raise ImageDecodeError("truncated tag value")
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(e + fmt * count, buf, voff))
+    return tags
+
+
+def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
+    """Baseline TIFF: little/big-endian, first IFD, strip layout;
+    compression none(1) / LZW(5, the MSB-first variant shared with PDF
+    LZWDecode incl. its EarlyChange width rule) / PackBits(32773);
+    horizontal-differencing predictor 2 via the shared pdf.filters
+    predictor; 8-bit gray or RGB(A).  Tiles, 16-bit and exotic
+    photometrics stay honest NotImplementedError boundaries."""
+    from ..pdf.filters import apply_predictor, lzw_decode
+
+    tags = _tiff_tags(buf)
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ImageDecodeError(f"missing TIFF tag {tag}")
+            return default
+        return v[0]
+    width, height = one(256), one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    compression = one(259, 1)
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bit depths {bits}")
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(f"TIFF {spp} samples/pixel")
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar TIFF")
+    predictor = one(317, 1)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ImageDecodeError("missing strip layout")
+    rows_per_strip = one(278, height)
+    row_bytes = width * spp
+    out = bytearray()
+    for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+        raw = buf[soff : soff + scnt]
+        if len(raw) != scnt:
+            raise ImageDecodeError("truncated strip")
+        if compression == 1:
+            strip = raw
+        elif compression == 5:
+            try:
+                strip = lzw_decode(raw)
+            except Exception as exc:
+                raise ImageDecodeError(f"strip LZW: {exc}") from exc
+        elif compression == 32773:
+            strip = _packbits_decode(raw)
+        else:
+            raise NotImplementedError(f"TIFF compression {compression}")
+        n_rows = min(rows_per_strip, height - si * rows_per_strip)
+        if len(strip) < n_rows * row_bytes:
+            raise ImageDecodeError("short strip")
+        strip = strip[: n_rows * row_bytes]
+        if predictor == 2:
+            strip = apply_predictor(strip, 2, colors=spp, bpc=8,
+                                    columns=width)
+        elif predictor != 1:
+            raise NotImplementedError(f"TIFF predictor {predictor}")
+        out += strip
+    if len(out) != height * row_bytes:
+        raise ImageDecodeError("pixel buffer size mismatch")
+    # RGBA keeps its alpha channel in the sample stream, like PNG
+    return width, height, bytes(out)
+
+
+def _decode_wav(buf: bytes) -> tuple[int, int, bytes]:
+    """RIFF/WAVE PCM (8-bit unsigned or 16-bit signed LE) -> (sample
+    rate, n_channels, samples reduced to unsigned 8-bit).  The reduction
+    (16-bit keeps the high byte, offset to unsigned) feeds the same
+    16-bin histogram featurizer as images - audio rows get real decoded
+    features, not byte noise."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ImageDecodeError("bad WAV signature")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(buf)
+    while pos + 8 <= n:
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ImageDecodeError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ImageDecodeError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ImageDecodeError("short fmt chunk")
+    audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0)
+    if audio_fmt != 1:  # PCM only; float/ADPCM need real codecs
+        raise NotImplementedError(f"WAV format {audio_fmt}")
+    if channels < 1 or rate < 1:
+        raise ImageDecodeError("bad WAV fmt")
+    if bits == 8:
+        samples = data
+    elif bits == 16:
+        arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+        samples = ((arr.astype(np.int32) >> 8) + 128).astype(
+            np.uint8).tobytes()
+    else:
+        raise NotImplementedError(f"WAV bit depth {bits}")
+    return rate, channels, samples
+
+
 def decode_image(buf: bytes, fake: bool = False):
     """Decode an image to (width, height, feature vector).
 
@@ -273,13 +444,19 @@ def decode_image(buf: bytes, fake: bool = False):
     elif buf[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif
         w, h, samples = decode_gif(buf)
+    elif buf[:4] in (b"II*\x00", b"MM\x00*"):
+        w, h, samples = _decode_tiff(buf)
+    elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        # audio: (width, height) carry (sample rate, channels) - the
+        # schema's metadata slots are modality-dependent by design
+        w, h, samples = _decode_wav(buf)
     elif buf[:2] in (b"P5", b"P6"):
         w, h, samples = _decode_ppm(buf)
     elif buf[:2] == b"BM":
         w, h, samples = _decode_bmp(buf)
     else:
         raise NotImplementedError(
-            "unrecognized image format (PNG/JPEG/GIF/PPM/PGM/"
+            "unrecognized image format (PNG/JPEG/GIF/TIFF/PPM/PGM/"
             "BMP decode in pure Python; WebP/TIFF etc. need a codec "
             "library not in this container)")
     return w, h, _pixel_features(samples)
@@ -301,6 +478,10 @@ def image_dimensions(buf: bytes) -> tuple[int, int] | None:
         if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 10:
             w, h = struct.unpack_from("<HH", buf, 6)
             return int(w), int(h)
+        if buf[:4] in (b"II*\x00", b"MM\x00*"):
+            tags = _tiff_tags(buf)
+            if 256 in tags and 257 in tags:
+                return int(tags[256][0]), int(tags[257][0])
         if buf[:2] == b"BM" and len(buf) >= 26:
             w, h = struct.unpack_from("<ii", buf, 18)
             return int(w), abs(int(h))

@@ -396,3 +396,75 @@ def test_gif_corruption_contained():
         decode_image(buf[:6])           # no screen descriptor
     from livre_spark.functions.multimodal import image_dimensions
     assert image_dimensions(buf) == (w, h)
+
+
+# --- WAV audio ---------------------------------------------------------------
+
+def test_wav_golden():
+    """16-bit PCM decodes to high-byte-reduced samples; the metadata
+    slots carry (sample rate, channels)."""
+    from livre_spark.functions.genimg import encode_wav
+    samples = [(i * 997 - 16000) % 65536 - 32768 for i in range(300)]
+    buf = encode_wav(8000, 2, samples)
+    rate, ch, feats = decode_image(buf)
+    assert (rate, ch) == (8000, 2)
+    reduced = bytes(((s >> 8) + 128) & 0xFF for s in samples)
+    assert feats == _expected_features(reduced)
+
+
+def test_wav_containment():
+    from livre_spark.functions.genimg import encode_wav
+    buf = encode_wav(8000, 1, [0, 1000, -1000])
+    with pytest.raises(ImageDecodeError):
+        decode_image(buf[:20])  # truncated chunk
+    # float PCM (format 3) is an honest codec boundary
+    import struct as _s
+    bad = bytearray(buf)
+    fmt_at = bytes(buf).index(b"fmt ") + 8
+    bad[fmt_at:fmt_at + 2] = _s.pack("<H", 3)
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(bad))
+    # WebP (RIFF but not WAVE) still routes to the codec boundary
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBPVP8 ")
+
+
+# --- TIFF --------------------------------------------------------------------
+
+@pytest.mark.parametrize("spp, comp, pred, endian", [
+    (3, "none", 1, "<"), (3, "lzw", 1, "<"), (3, "lzw", 2, ">"),
+    (1, "packbits", 1, "<"), (4, "lzw", 2, "<"), (1, "none", 1, ">"),
+])
+def test_tiff_golden(spp, comp, pred, endian):
+    """Strip TIFF across endianness, compression (none / the shared
+    MSB-first LZW / PackBits) and the horizontal predictor."""
+    from livre_spark.functions.genimg import encode_tiff
+    from livre_spark.functions.multimodal import image_dimensions
+    w, h = 13, 9
+    px = _gradient(w * h * spp)
+    buf = encode_tiff(w, h, px, spp=spp, compression=comp,
+                      predictor=pred, endian=endian)
+    gw, gh, feats = decode_image(buf)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(px)
+    assert image_dimensions(buf) == (w, h)
+
+
+def test_tiff_containment():
+    from livre_spark.functions.genimg import encode_tiff
+    w, h = 13, 9
+    buf = encode_tiff(w, h, _gradient(w * h * 3))
+    with pytest.raises(ImageDecodeError):
+        decode_image(buf[:30])  # truncated IFD / tag values
+    # 16-bit stays an honest boundary: patch BitsPerSample
+    import struct as _s
+    b = bytearray(buf)
+    # find the 258 entry in the IFD (little-endian fixture)
+    n = _s.unpack_from("<H", b, 8)[0]
+    for t in range(n):
+        off = 10 + 12 * t
+        if _s.unpack_from("<H", b, off)[0] == 258:
+            voff = _s.unpack_from("<I", b, off + 8)[0]
+            _s.pack_into("<H", b, voff, 16)
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(b))

@@ -39,11 +39,13 @@ def test_column_pruning_reaches_scan(spark):
 def test_no_python_row_udfs_in_relational_queries(spark):
     """B19 discipline: relational/text/dedup/similarity queries are pure
     JVM - no BatchEvalPython (row UDF) anywhere; mapInPandas (ArrowEval /
-    MapInPandas) only in the extraction + multimodal queries."""
+    MapInPandas) only in the extraction + multimodal + crypt-kernel
+    queries (doc_info_crypt builds encrypted PDFs per row)."""
     for name, fn in em.queries().items():
         plan = _plan(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
-        if name not in ("extract_roundtrip", "multimodal_features"):
+        if name not in ("extract_roundtrip", "multimodal_features",
+                        "doc_info_crypt"):
             assert "MapInPandas" not in plan, name
 
 
