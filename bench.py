@@ -315,17 +315,25 @@ def run_extraction(cores: int,
     return result
 
 
-def run_headline_queries(spark) -> dict[str, float]:
+def run_headline_queries(spark, probe_core: int | None = None):
+    """Times each headline query twice; each attempt carries a
+    CONCURRENT steal probe on the reserved core.  Returns (raw, norm):
+    raw = best measured seconds (comparable to past rounds), norm = the
+    same attempt deflated by probe/calibration where calibration is the
+    best probe rate of the whole phase - the steady-state number host
+    steal can't inflate."""
     import __spark_entry__ as em
     from pyspark.sql.functions import count as F_count
 
     queries = em.queries()
-    timings = {}
+    attempts: dict[str, list[tuple[float, float]]] = {}
     for name in HEADLINE:
         fn = queries[name]
+        runs = []
         # best-of-2: the host-steal windows inflate single draws 3-4x
-        best = None
         for _ in range(2):
+            probe = StealProbe(probe_core) if probe_core is not None \
+                else None
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             # force EVERY output column: a bare count() lets Catalyst
@@ -334,9 +342,18 @@ def run_headline_queries(spark) -> dict[str, float]:
             # to null-check it, for any column type.
             df.agg(*[F_count(c) for c in df.columns]).collect()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-    return timings
+            pr = probe.stop() if probe is not None else 0.0
+            runs.append((dt, pr))
+        attempts[name] = runs
+    cal = max((pr for runs in attempts.values() for _dt, pr in runs),
+              default=0.0)
+    raw = {n: round(min(dt for dt, _pr in runs), 3)
+           for n, runs in attempts.items()}
+    if cal <= 0:
+        return raw, dict(raw)
+    norm = {n: round(min(dt * (pr / cal) for dt, pr in runs), 3)
+            for n, runs in attempts.items()}
+    return raw, norm
 
 
 def _burn(seconds: float) -> int:
@@ -492,14 +509,18 @@ def main() -> None:
     os.makedirs(CACHE, exist_ok=True)
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
-    # phase 0: corpus (generated at full parallelism, cached)
-    spark = build_session(app_name="bench-gen", cores=CPUS,
+    # phase 0+2: corpus, then headline queries on CPUS-1 worker cores
+    # with the last core reserved for the per-attempt steal probe
+    all_cpus = os.sched_getaffinity(0)
+    query_probe_core, query_cpus = _split_cpus(CPUS - 1)
+    os.sched_setaffinity(0, query_cpus)
+    spark = build_session(app_name="bench-gen", cores=CPUS - 1,
                           shuffle_partitions=CPUS * 2)
     corpus = ensure_corpus(spark, N_DOCS)
-
-    # phase 2 first (reuses the running full-core session): headline queries
-    timings = run_headline_queries(spark)
+    timings, timings_norm = run_headline_queries(
+        spark, probe_core=query_probe_core)
     spark.stop()
+    os.sched_setaffinity(0, all_cpus)  # scaling children re-split
 
     # phase 1: extraction scaling N vs 4N.  The VM host steals capacity
     # in minutes-long windows (identical 32-core runs measured 21.5s vs
@@ -531,6 +552,7 @@ def main() -> None:
         "value": rate_4n,
         "unit": "docs/sec",
         "queries": timings,
+        "queries_normalized": timings_norm,
         "sf": sf,
         "scaling": {
             "corpus_docs": N_DOCS,
@@ -656,11 +678,16 @@ Each timed run is preceded by a ~2% warmup through the identical plan
 numbers are steady-state throughput - the quantity that scales on a
 cluster - not per-run fixed costs.
 
-Headline query timings at sf={result['sf']} (local[{s['cores_4n']}]):
+Headline query timings at sf={result['sf']} (local[{CPUS - 1}] + probe
+core).  "normalized" deflates each attempt by its concurrent probe
+against the phase's best probe rate - the steady-state number host
+steal cannot inflate; "raw" is directly comparable to earlier rounds:
 
-| query | seconds |
-|---|---|
-""" + "\n".join(f"| {k} | {v} |" for k, v in result["queries"].items()) + "\n"
+| query | raw s | normalized s |
+|---|---|---|
+""" + "\n".join(
+        f"| {k} | {v} | {result['queries_normalized'].get(k, v)} |"
+        for k, v in result["queries"].items()) + "\n"
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
