@@ -6,10 +6,11 @@ bit packing with a growing code width, clear/EOI codes - which differs
 from the MSB-first TIFF-style LZW already in pdf/filters.py (PDF
 LZWDecode); the two deliberately do not share code.
 
-Scope: static decode of the FIRST image frame (animated GIFs yield
-frame 1), global and local color tables, interlaced row order,
-extension blocks skipped (transparency index ignored - the palette
-color is used; features read colors, not alpha).  Malformed input
+Scope: ``decode_gif`` yields the first frame; ``decode_gif_frames``
+composites EVERY frame onto the logical-screen canvas (frame offsets +
+graphics-control transparency honored; disposal approximated by
+overwrite) - the frame-sample primitive the video modality uses.
+Global and local color tables, interlaced row order.  Malformed input
 raises ``GifError``, contained into the error column by the feature
 UDF like every other per-row failure.
 """
@@ -85,8 +86,8 @@ def _lzw_decode_gif(data: bytes, min_code_size: int, n_pixels: int) -> bytearray
     return out
 
 
-def decode_gif(buf: bytes) -> tuple[int, int, bytes]:
-    """First frame -> (width, height, RGB samples)."""
+def _screen(buf: bytes):
+    """Header + logical screen descriptor -> (sw, sh, gct, pos)."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("bad GIF signature")
     if len(buf) < 13:
@@ -100,27 +101,47 @@ def decode_gif(buf: bytes) -> tuple[int, int, bytes]:
         if len(gct) != n:
             raise GifError("truncated global color table")
         pos += n
+    return sw, sh, gct, pos
+
+
+def _iter_frames(buf: bytes, gct: bytes, pos: int):
+    """Yield raw frames: (left, top, w, h, transparent_idx, rgb, mask).
+
+    ``rgb`` is the frame raster expanded through its color table;
+    ``mask`` is a per-pixel 0/1 bytes object (0 = transparent) or None
+    when the frame has no transparency."""
+    transparent = None
     while pos < len(buf):
         block = buf[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            break
+            return
         if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(buf):
+                raise GifError("truncated extension")
+            label = buf[pos]
             pos += 1
+            first = True
             while True:
                 if pos >= len(buf):
                     raise GifError("truncated extension")
                 size = buf[pos]
+                if (first and label == 0xF9 and size >= 4
+                        and pos + 4 < len(buf)):
+                    # graphics control: transparency flag + index
+                    flags = buf[pos + 1]
+                    transparent = (buf[pos + 4] if flags & 0x01
+                                   else None)
+                first = False
                 pos += 1 + size
                 if size == 0:
                     break
             continue
         if block != 0x2C:
             raise GifError(f"unknown block 0x{block:02x}")
-        # image descriptor
         if pos + 9 > len(buf):
             raise GifError("truncated image descriptor")
-        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos)
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos)
         pos += 9
         if w == 0 or h == 0:
             raise GifError("bad frame dimensions")
@@ -156,20 +177,76 @@ def decode_gif(buf: bytes) -> tuple[int, int, bytes]:
         idx = idx[: w * h]
         if interlaced:
             rows = bytearray(w * h)
-            src = 0
-            for first, step in _INTERLACE:
-                for y in range(first, h, step):
-                    rows[y * w : (y + 1) * w] = idx[src : src + w]
-                    src += w
+            src_row = 0
+            for first_row, step in _INTERLACE:
+                for y in range(first_row, h, step):
+                    rows[y * w : (y + 1) * w] = idx[src_row : src_row + w]
+                    src_row += w
             idx = rows
         n_colors = len(ct) // 3
         out = bytearray(w * h * 3)
+        mask = None
+        if transparent is not None:
+            mask = bytearray(b"\x01" * (w * h))
         for i, ci in enumerate(idx):
             if ci >= n_colors:
                 raise GifError("color index out of range")
             out[3 * i : 3 * i + 3] = ct[3 * ci : 3 * ci + 3]
-        return w, h, bytes(out)
+            if mask is not None and ci == transparent:
+                mask[i] = 0
+        yield left, top, w, h, bytes(out), (bytes(mask) if mask else None)
+        transparent = None  # graphics control applies to ONE frame
+
+
+def decode_gif(buf: bytes) -> tuple[int, int, bytes]:
+    """First frame -> (width, height, RGB samples)."""
+    sw, sh, gct, pos = _screen(buf)
+    for _left, _top, w, h, rgb, _mask in _iter_frames(buf, gct, pos):
+        return w, h, rgb
     raise GifError("no image frame")
+
+
+def decode_gif_frames(buf: bytes,
+                      max_frames: int | None = None
+                      ) -> tuple[int, int, list[bytes]]:
+    """Animated GIF -> (screen_w, screen_h, composited RGB frames).
+
+    Each frame is drawn onto the running canvas at its (left, top),
+    transparent pixels leaving the previous content visible - the
+    overwrite interpretation of disposal (methods 2/3, background/
+    previous restore, are approximated by overwrite; fine for feature
+    extraction, documented).  ``max_frames`` bounds work on hostile
+    inputs (a 10k-frame GIF bomb costs one frame's work per frame
+    regardless, so the cap is the only defense)."""
+    sw, sh, gct, pos = _screen(buf)
+    if sw == 0 or sh == 0:
+        raise GifError("bad screen dimensions")
+    canvas = bytearray(sw * sh * 3)
+    frames: list[bytes] = []
+    for left, top, w, h, rgb, mask in _iter_frames(buf, gct, pos):
+        for y in range(h):
+            cy = top + y
+            if cy >= sh:
+                break
+            row_w = min(w, sw - left) if left < sw else 0
+            if row_w <= 0:
+                continue
+            src0 = y * w
+            dst0 = (cy * sw + left) * 3
+            if mask is None:
+                canvas[dst0 : dst0 + row_w * 3] = \
+                    rgb[src0 * 3 : (src0 + row_w) * 3]
+            else:
+                for x in range(row_w):
+                    if mask[src0 + x]:
+                        canvas[dst0 + 3 * x : dst0 + 3 * x + 3] = \
+                            rgb[(src0 + x) * 3 : (src0 + x) * 3 + 3]
+        frames.append(bytes(canvas))
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise GifError("no image frame")
+    return sw, sh, frames
 
 
 # --- deterministic encoder twin ----------------------------------------------
@@ -240,6 +317,35 @@ def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_animated(sw: int, sh: int, palette: bytes,
+                        frames: list) -> bytes:
+    """Multi-frame GIF89a: ``frames`` is a list of (left, top, w, h,
+    indices, transparent_index_or_None); each frame gets a graphics-
+    control extension when transparency is set."""
+    n_colors = len(palette) // 3
+    if n_colors < 2 or n_colors & (n_colors - 1) or len(palette) % 3:
+        raise ValueError("palette must be 3*2^k bytes")
+    depth = max(1, (n_colors - 1).bit_length())
+    min_code = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), 0, 0)
+    out += palette
+    for left, top, w, h, indices, transparent in frames:
+        if len(indices) != w * h or max(indices, default=0) >= n_colors:
+            raise ValueError("bad frame index buffer")
+        if transparent is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out += bytes([min_code])
+        data = _lzw_encode_gif(bytes(indices), min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

@@ -490,6 +490,105 @@ def image_dimensions(buf: bytes) -> tuple[int, int] | None:
     return None
 
 
+def resize_image(samples: bytes, w: int, h: int, ch: int, nw: int,
+                 nh: int, method: str = "bilinear") -> bytes:
+    """Resize an interleaved 8-bit raster (numpy, no codec libs).
+
+    ``nearest`` = index map (exact for integer upscales); ``bilinear``
+    = separable interpolation with edge clamp (align-corners=False, the
+    torchvision/PIL convention).  The thumbnail primitive for
+    training-data pipelines - decode once, resize per target."""
+    if w * h * ch != len(samples):
+        raise ImageDecodeError("raster size mismatch")
+    if nw < 1 or nh < 1:
+        raise ImageDecodeError("bad target size")
+    arr = np.frombuffer(samples, dtype=np.uint8).reshape(h, w, ch)
+    if method == "nearest":
+        ys = np.minimum(((np.arange(nh) + 0.5) * h / nh).astype(int),
+                        h - 1)
+        xs = np.minimum(((np.arange(nw) + 0.5) * w / nw).astype(int),
+                        w - 1)
+        out = arr[ys][:, xs]
+        return out.tobytes()
+    if method != "bilinear":
+        raise ValueError(f"resize method {method}")
+    fy = (np.arange(nh) + 0.5) * h / nh - 0.5
+    fx = (np.arange(nw) + 0.5) * w / nw - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8).tobytes()
+
+
+VIDEO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_frames", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("sampled", IntegerType()),     # frames actually featurized
+    StructField("features", ArrayType(FloatType())),  # mean over samples
+    StructField("error", StringType()),
+])
+
+
+def video_frame_batches(batches: Iterator[pd.DataFrame],
+                        sample_frames: int = 4,
+                        max_frames: int = 64) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for the VIDEO modality (animated GIF is the
+    in-container stand-in; real codecs slot in behind the same shape):
+    decode up to ``max_frames`` composited frames, uniformly sample
+    ``sample_frames`` of them, average their histograms.  The per-row
+    work is bounded by max_frames regardless of hostile frame counts."""
+    from .gif import decode_gif_frames
+
+    for batch in batches:
+        out = {k.name: [] for k in VIDEO_FEATURES_SCHEMA.fields}
+        for mid, content in zip(batch["media_id"], batch["content"]):
+            buf = bytes(content) if content is not None else b""
+            out["media_id"].append(int(mid))
+            try:
+                w, h, frames = decode_gif_frames(buf,
+                                                 max_frames=max_frames)
+                n = len(frames)
+                k = min(sample_frames, n)
+                picks = [int(i * (n - 1) / max(k - 1, 1)) for i in
+                         range(k)] if k > 1 else [0]
+                feats = np.mean([_pixel_features(frames[p])
+                                 for p in picks], axis=0)
+                out["n_frames"].append(n)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sampled"].append(len(picks))
+                out["features"].append([float(x) for x in feats])
+                out["error"].append(None)
+            except Exception as exc:  # containment per row
+                out["n_frames"].append(None)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["sampled"].append(None)
+                out["features"].append(None)
+                out["error"].append(f"{type(exc).__name__}: {exc}")
+        yield pd.DataFrame(out)
+
+
+def extract_video_features(media: DataFrame, sample_frames: int = 4,
+                           max_frames: int = 64) -> DataFrame:
+    """Vectorized frame-sampled features over a binary video column."""
+    def body(batches):
+        return video_frame_batches(batches, sample_frames=sample_frames,
+                                   max_frames=max_frames)
+
+    return (media.select("media_id", "content")
+            .mapInPandas(body, schema=VIDEO_FEATURES_SCHEMA))
+
+
 def media_feature_batches(batches: Iterator[pd.DataFrame],
                           fake: bool = True) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (media_id, kind, content) -> MEDIA_FEATURES_SCHEMA."""

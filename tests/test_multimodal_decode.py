@@ -468,3 +468,97 @@ def test_tiff_containment():
             _s.pack_into("<H", b, voff, 16)
     with pytest.raises(NotImplementedError):
         decode_image(bytes(b))
+
+
+# --- animated GIF frames / video modality / resize ---------------------------
+
+def test_gif_frames_compositing():
+    """Frame offsets + transparency composite onto the running canvas;
+    transparent pixels leave previous content visible."""
+    from livre_spark.functions.gif import decode_gif_frames, encode_gif_animated
+    palette = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  9, 9, 9])
+    sw, sh = 4, 3
+    base = bytes([0] * (sw * sh))                # all red
+    patch = bytes([1, 3, 1, 3])                  # 2x2: green/transp rows
+    buf = encode_gif_animated(sw, sh, palette, [
+        (0, 0, sw, sh, base, None),
+        (1, 1, 2, 2, patch, 3),                  # index 3 transparent
+    ])
+    gw, gh, frames = decode_gif_frames(buf)
+    assert (gw, gh, len(frames)) == (sw, sh, 2)
+    red, green = palette[0:3], palette[3:6]
+    f0 = frames[0]
+    assert f0 == red * (sw * sh)
+    f1 = frames[1]
+    def px(fr, x, y):
+        return fr[(y * sw + x) * 3 : (y * sw + x) * 3 + 3]
+    assert px(f1, 1, 1) == green and px(f1, 2, 1) == red  # transp kept
+    assert px(f1, 1, 2) == green and px(f1, 2, 2) == red
+    assert px(f1, 0, 0) == red                  # outside patch untouched
+    # max_frames cap
+    assert len(decode_gif_frames(buf, max_frames=1)[2]) == 1
+
+
+def test_video_frame_features_batches():
+    import pandas as pd
+    from livre_spark.functions.gif import encode_gif_animated
+    from livre_spark.functions.multimodal import video_frame_batches
+    palette = bytes([i * 85 for i in range(4) for _ in range(3)])[:12]
+    sw, sh = 5, 4
+    frames = [(0, 0, sw, sh, bytes([f % 4] * (sw * sh)), None)
+              for f in range(6)]
+    buf = encode_gif_animated(sw, sh, palette, frames)
+    batch = pd.DataFrame({"media_id": [1, 2],
+                          "content": [buf, b"not a gif"]})
+    (out,) = list(video_frame_batches(iter([batch]), sample_frames=3))
+    ok = out.iloc[0]
+    assert (ok["n_frames"], ok["width"], ok["height"], ok["sampled"]) \
+        == (6, sw, sh, 3)
+    assert abs(sum(ok["features"]) - 1.0) < 1e-6
+    bad = out.iloc[1]
+    assert bad["features"] is None and "GifError" in bad["error"]
+
+
+def test_resize_nearest_exact_upscale():
+    from livre_spark.functions.multimodal import resize_image
+    w, h = 3, 2
+    px = _gradient(w * h * 3)
+    up = resize_image(px, w, h, 3, 6, 4, method="nearest")
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    b = np.frombuffer(up, dtype=np.uint8).reshape(4, 6, 3)
+    # integer 2x nearest: each source pixel becomes a 2x2 block
+    assert (b == np.repeat(np.repeat(a, 2, 0), 2, 1)).all()
+
+
+def test_resize_bilinear_preserves_linear_ramp():
+    """Bilinear resampling of a linear ramp stays (near) linear, and
+    constant images stay exactly constant at any target size."""
+    from livre_spark.functions.multimodal import resize_image
+    w, h = 16, 1
+    ramp = bytes(i * 16 for i in range(w))
+    out = resize_image(ramp, w, h, 1, 8, 1)
+    vals = list(out)
+    diffs = [b - a for a, b in zip(vals, vals[1:])]
+    assert max(diffs) - min(diffs) <= 1          # near-constant slope
+    const = bytes([77]) * (5 * 7 * 3)
+    assert resize_image(const, 5, 7, 3, 11, 3) == bytes([77]) * (11 * 3 * 3)
+    with pytest.raises(ImageDecodeError):
+        resize_image(const, 5, 7, 3, 0, 3)
+
+
+def test_spark_video_frame_features(spark):
+    from livre_spark.functions.gif import encode_gif_animated
+    from livre_spark.functions.multimodal import extract_video_features
+    palette = bytes([i * 85 for i in range(4) for _ in range(3)])[:12]
+    sw, sh = 5, 4
+    frames = [(0, 0, sw, sh, bytes([f % 4] * (sw * sh)), None)
+              for f in range(5)]
+    buf = encode_gif_animated(sw, sh, palette, frames)
+    media = spark.createDataFrame(
+        [(1, bytearray(buf)), (2, bytearray(b"junk"))],
+        "media_id long, content binary")
+    got = {r["media_id"]: r for r in
+           extract_video_features(media, sample_frames=2).collect()}
+    assert got[1]["n_frames"] == 5 and got[1]["sampled"] == 2
+    assert got[1]["error"] is None
+    assert got[2]["error"] is not None
