@@ -9,7 +9,7 @@
                in integer cents; per-row float math (cosine etc.) is
                identical IEEE-754 on both engines and rounded to 6dp.
 
-Every registered query has a DuckDB twin (43 queries, 43 oracles);
+Every registered query has a DuckDB twin (44 queries, 44 oracles);
 genuinely non-SQL ops (stateful streaming dedup, windowed streaming
 aggregation) live behind pytest pins instead of registry entries.
 """
@@ -1136,6 +1136,49 @@ FROM m
 """
 
 
+def _real_ppm_batches(batches):
+    """Per row: md5-hex of the text (32 ASCII chars, engine-identical)
+    repeated to a 192-byte raster -> a REAL binary PPM (P6 8x8) ->
+    multimodal.decode_image with fake=False - the actual header parse +
+    raster decode + histogram path, not the oracle-plumbing fake.
+
+    Hex chars split cleanly by high nibble (digits 0x30-39 -> bin 3,
+    letters a-f 0x61-66 -> bin 6), so the f32 ratio recovers the exact
+    letter count: ratio * 192 rounds to an integer DuckDB re-derives
+    from regexp counts over md5(text)."""
+    import pandas as pd
+
+    from livre_spark.functions.multimodal import decode_image
+
+    for batch in batches:
+        out = {"url": [], "width": [], "height": [], "f6_count": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            raster = (__import__("hashlib")
+                      .md5(str(text).encode()).hexdigest() * 6).encode()
+            w, h, feats = decode_image(b"P6\n8 8\n255\n" + raster)
+            out["url"].append(f"pdf://{int(doc_id)}")
+            out["width"].append(w)
+            out["height"].append(h)
+            out["f6_count"].append(int(round(feats[6] * 192)))
+        yield pd.DataFrame(out)
+
+
+def q_multimodal_real_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _real_ppm_batches,
+        schema="url string, width int, height int, f6_count long")
+
+
+SQL_MULTIMODAL_REAL_DECODE = """
+SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS url,
+       8 AS width, 8 AS height,
+       CAST(6 * (32 - length(regexp_replace(md5(text), '[a-f]', '',
+                                            'g'))) AS BIGINT) AS f6_count
+FROM documents
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup CLUSTERS from the minhash-LSH pair graph: min-label
     propagation to a fixpoint (dedup.connected_components), the step
@@ -1275,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_info_crypt": q_doc_info_crypt,
         "dedup_components": q_dedup_components,
         "sample_stratified": q_sample_stratified,
+        "multimodal_real_decode": q_multimodal_real_decode,
     }
 
 
@@ -1322,4 +1366,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_info_crypt": SQL_DOC_INFO_CRYPT,
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
+        "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
     }
