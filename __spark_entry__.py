@@ -9,7 +9,7 @@
                in integer cents; per-row float math (cosine etc.) is
                identical IEEE-754 on both engines and rounded to 6dp.
 
-Every registered query has a DuckDB twin (44 queries, 44 oracles);
+Every registered query has a DuckDB twin (45 queries, 45 oracles);
 genuinely non-SQL ops (stateful streaming dedup, windowed streaming
 aggregation) live behind pytest pins instead of registry entries.
 """
@@ -1179,6 +1179,58 @@ FROM documents
 """
 
 
+def _pdf_images_batches(batches):
+    """Per row: md5-hex raster (8x8 RGB, the nibble-split trick) -> PDF
+    with an embedded Flate raster XObject (every 2nd doc ENCRYPTED, so
+    the per-object image decrypt path is oracle-covered) -> full
+    document walk + image decode (functions/pdfimages.py)."""
+    import hashlib
+
+    import pandas as pd
+
+    from livre_spark.functions.pdfimages import extract_pdf_images
+    from livre_spark.pdf.genpdf import build_pdf
+
+    for batch in batches:
+        out = {"url": [], "name": [], "width": [], "height": [],
+               "kind": [], "f6_count": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            did = int(doc_id)
+            raster = (hashlib.md5(str(text).encode()).hexdigest()
+                      * 6).encode()
+            pdf = build_pdf(
+                [b"BT (x) Tj ET"],
+                images=[{"name": "Im1", "width": 8, "height": 8,
+                         "samples": raster}],
+                encrypt="rc4-128" if did % 2 else None)
+            (row,) = extract_pdf_images(pdf)
+            assert row["error"] is None, row["error"]
+            out["url"].append(f"pdf://{did}")
+            out["name"].append(row["name"])
+            out["width"].append(row["width"])
+            out["height"].append(row["height"])
+            out["kind"].append(row["kind"])
+            out["f6_count"].append(int(round(row["features"][6] * 192)))
+        yield pd.DataFrame(out)
+
+
+def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _pdf_images_batches,
+        schema="url string, name string, width int, height int,"
+               " kind string, f6_count long")
+
+
+SQL_PDF_IMAGES = """
+SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS url,
+       'Im1' AS name, 8 AS width, 8 AS height, 'raster' AS kind,
+       CAST(6 * (32 - length(regexp_replace(md5(text), '[a-f]', '',
+                                            'g'))) AS BIGINT) AS f6_count
+FROM documents
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup CLUSTERS from the minhash-LSH pair graph: min-label
     propagation to a fixpoint (dedup.connected_components), the step
@@ -1319,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "sample_stratified": q_sample_stratified,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "pdf_images": q_pdf_images,
     }
 
 
@@ -1367,4 +1420,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
+        "pdf_images": SQL_PDF_IMAGES,
     }

@@ -279,6 +279,57 @@ class Document:
             return value
         return self.build(ref, _info_dict_parser)
 
+    def page_images(self, max_images: int = 64) -> list[dict]:
+        """Beyond-reference extension: the document's image XObjects.
+
+        Walks the page tree collecting /Resources -> /XObject entries
+        whose /Subtype is /Image; each yields ``{name, page, width,
+        height, bpc, color_space, kind, data}`` where ``kind`` is
+        ``"jpeg"`` (a /DCTDecode payload - a complete JFIF/JPEG file,
+        decodable by functions/jpeg.py), ``"raster"`` (all non-image
+        filters already applied - raw samples) or ``"codec:<name>"``
+        (JPX/CCITT/JBIG2 - payload returned undecoded).  Encrypted
+        documents decrypt per object like every other stream.  Shared
+        XObjects are reported once (first referencing page);
+        ``max_images`` bounds hostile fan-out."""
+        images: list[dict] = []
+        seen_nodes: set = set()
+        seen_xobjs: set = set()
+        page_no = [0]
+
+        def visit(node_ref):
+            if len(images) >= max_images or node_ref.id in seen_nodes:
+                return
+            seen_nodes.add(node_ref.id)
+            try:
+                kids, xobjs = self.build(node_ref, _xobject_walk_parser)
+            except (ParseError, CutError):
+                return
+            if kids is None:
+                page_no[0] += 1
+            for name, xref in xobjs.items():
+                if len(images) >= max_images or xref.id in seen_xobjs:
+                    continue
+                seen_xobjs.add(xref.id)
+                try:
+                    info = self.build(xref, _image_stream_parser)
+                except (ParseError, CutError):
+                    continue
+                if info.get("subtype") != "Image":
+                    continue
+                info["name"] = name
+                info["page"] = page_no[0]
+                images.append(info)
+            for kid in kids or []:
+                visit(kid)
+
+        # catalog.pages is the already-built ROOT node; walk its kids
+        # (root-level /Resources would be inherited ones - and the
+        # reference never inherits resources, quirk preserved)
+        for kid in self.catalog.pages.kids:
+            visit(kid)
+        return images
+
     def build_content(self, page: Page) -> bytes:
         """Concatenate all decoded /Contents streams, no separator
         (pages.rs:273-291)."""
@@ -407,6 +458,105 @@ def _info_dict_parser(doc: Document, buf: bytes, pos: int):
                 out[name], _ = _info_value_parser(doc, buf, s)
         except (ParseError, CutError):
             pass  # drop-unparseable, Map<T> discipline
+    return out, p
+
+
+_IMAGE_CODECS = {b"DCTDecode", b"DCT", b"JPXDecode",
+                 b"CCITTFaxDecode", b"CCF", b"JBIG2Decode"}
+
+
+def _xobject_walk_parser(doc: Document, buf: bytes, pos: int):
+    """Page-tree node -> (kids refs or None, {name: xobject ref})."""
+    raw, p = ob.parse_raw_dict(buf, pos)
+    kids_span = raw.pop(b"Kids")
+    kids = None
+    if kids_span is not None:
+        kids, _ = ob.parse_vec(buf, kids_span[0], ob.parse_reference)
+    res_span = raw.pop(b"Resources")
+    xobjs: dict = {}
+    if res_span is not None:
+        try:
+            rref, _ = ob.parse_reference(buf, res_span[0])
+            xobjs = doc.build(rref, _resources_xobject_parser)
+        except ParseError:
+            try:
+                xobjs, _ = _resources_xobject_parser(doc, buf,
+                                                     res_span[0])
+            except ParseError:
+                xobjs = {}
+    return (kids, xobjs), p
+
+
+def _resources_xobject_parser(doc: Document, buf: bytes, pos: int):
+    raw, p = ob.parse_raw_dict(buf, pos)
+    span = raw.pop(b"XObject")
+    if span is None:
+        return {}, p
+    try:
+        rref, _ = ob.parse_reference(buf, span[0])
+        return doc.build(rref, _xobject_dict_parser), p
+    except ParseError:
+        value, _ = _xobject_dict_parser(doc, buf, span[0])
+        return value, p
+
+
+def _xobject_dict_parser(doc: Document, buf: bytes, pos: int):
+    raw, p = ob.parse_raw_dict(buf, pos)
+    out: dict = {}
+    for name, (s, _e) in raw.entries.items():
+        try:
+            out[name.decode("latin-1")], _ = ob.parse_reference(buf, s)
+        except ParseError:
+            pass  # inline XObjects are not a thing; drop-unparseable
+    return out, p
+
+
+def _image_stream_parser(doc: Document, buf: bytes, pos: int):
+    """Image XObject -> metadata + payload.
+
+    The payload routes by FILTER, not blindly through decode_chain: a
+    trailing image codec (/DCTDecode etc.) is the image file itself -
+    the text path rejects those codecs (filtering.rs:50-53), the image
+    path hands them to the real decoders; any non-image prefix filters
+    (e.g. an exotic Flate-wrapped JPEG) are applied first."""
+    raw, p = ob.parse_raw_dict(buf, pos)
+    out: dict = {}
+    st = raw.pop(b"Subtype")
+    if st is not None:
+        try:
+            n, _ = ob.parse_name(buf, st[0])
+            out["subtype"] = bytes(n).decode("latin-1")
+        except ParseError:
+            out["subtype"] = None
+    out["width"] = raw.pop_and_parse(b"Width", ob.parse_unsigned)
+    out["height"] = raw.pop_and_parse(b"Height", ob.parse_unsigned)
+    out["bpc"] = raw.pop_and_parse(b"BitsPerComponent", ob.parse_unsigned)
+    cs_span = raw.pop(b"ColorSpace")
+    out["color_space"] = None
+    if cs_span is not None:
+        try:
+            n, _ = ob.parse_name(buf, cs_span[0])
+            out["color_space"] = bytes(n).decode("latin-1")
+        except ParseError:
+            pass  # array form (ICCBased etc.): leave None
+    filters, parms, payload, p = ob.parse_stream_raw_from_dict(
+        buf, p, raw, decrypt=_doc_decrypt(doc), validate_filters=False)
+    names = [bytes(f) for f in filters]
+    if names and names[-1] in (b"DCTDecode", b"DCT"):
+        from .filters import decode_chain
+
+        out["kind"] = "jpeg"
+        out["data"] = decode_chain(
+            names[:-1], payload, parms[:-1] if parms else None)
+    elif any(n in _IMAGE_CODECS for n in names):
+        codec = next(n for n in names if n in _IMAGE_CODECS)
+        out["kind"] = f"codec:{codec.decode('latin-1')}"
+        out["data"] = payload
+    else:
+        from .filters import decode_chain
+
+        out["kind"] = "raster"
+        out["data"] = decode_chain(names, payload, parms)
     return out, p
 
 

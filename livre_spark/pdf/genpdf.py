@@ -249,7 +249,8 @@ def build_pdf(page_contents: list[bytes | None], *,
               nested_tree: bool = False, contents_array: bool = False,
               use_objstm: bool = False, xref_predictor: bool = False,
               encrypt: str | None = None,
-              info: dict[str, str] | None = None) -> bytes:
+              info: dict[str, str] | None = None,
+              images: list[dict] | None = None) -> bytes:
     """Assemble a document whose pages carry the given content streams.
 
     ``None`` page content -> page without /Contents (empty page).
@@ -369,14 +370,48 @@ def build_pdf(page_contents: list[bytes | None], *,
         b.set(info_id, b"".join(parts))
         extra_trailer += b"/Info " + str(info_id).encode() + b" 0 R"
 
+    resources_entry = b""
+    if images:
+        # image XObjects on the FIRST page's /Resources.  The resources
+        # dict carries an (empty) /Font map because the page parser's
+        # Resources contract requires one (pages.rs:17-21 parity).
+        refs = []
+        for im in images:
+            if "jpeg" in im:
+                payload = im["jpeg"]
+                extra = (b"/Subtype/Image/Width " + str(im["width"]).encode()
+                         + b"/Height " + str(im["height"]).encode()
+                         + b"/BitsPerComponent 8/ColorSpace/"
+                         + im.get("color_space", "DeviceRGB").encode()
+                         + b"/Filter/DCTDecode")
+                if b.encryptor is not None:
+                    payload = b.encryptor(b._next, payload)
+                xid = b.add(b"<</Length " + str(len(payload)).encode()
+                            + extra + b">>stream\n" + payload
+                            + b"\nendstream")
+            else:
+                extra = (b"/Subtype/Image/Width " + str(im["width"]).encode()
+                         + b"/Height " + str(im["height"]).encode()
+                         + b"/BitsPerComponent 8/ColorSpace/"
+                         + im.get("color_space", "DeviceRGB").encode())
+                xid = b.add_stream(extra, im["samples"], flate=True)
+            refs.append((im["name"], xid))
+        resources_entry = (b" /Resources <</Font <<>> /XObject <<"
+                           + b" ".join(b"/" + n.encode() + b" "
+                                       + str(x).encode() + b" 0 R"
+                                       for n, x in refs)
+                           + b">>>>")
+
     page_ids = []
     kid_entries = []
-    for content in page_contents:
+    for idx, content in enumerate(page_contents):
+        page_res = resources_entry if idx == 0 else b""
         page_id = b.reserve()
         page_ids.append(page_id)
         if content is None:
             page_dict = (b"<</Type /Page /Parent "
-                         + str(root_pages_id).encode() + b" 0 R>>")
+                         + str(root_pages_id).encode() + b" 0 R"
+                         + page_res + b">>")
         else:
             if contents_array and len(content) > 8:
                 half = len(content) // 2
@@ -394,7 +429,8 @@ def build_pdf(page_contents: list[bytes | None], *,
                                    a85=a85, rle=rle, lzw=lzw)
                 contents_ref = str(cid).encode() + b" 0 R"
             page_dict = (b"<</Type /Page /Parent " + str(root_pages_id).encode()
-                         + b" 0 R /Contents " + contents_ref + b">>")
+                         + b" 0 R /Contents " + contents_ref
+                         + page_res + b">>")
         b.set(page_id, page_dict)
 
     if nested_tree and len(page_ids) > 1:

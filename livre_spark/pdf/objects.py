@@ -531,27 +531,35 @@ def parse_filter_list(buf: bytes, pos: int) -> tuple[list[bytes], int]:
     return parse_maybe_array(buf, pos, parse_filter_name)
 
 
+def parse_filter_list_lenient(buf: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Filter names WITHOUT the supported-set validation - for the raw
+    stream path whose consumer routes image codecs to real decoders
+    instead of rejecting them (the text path keeps the validating
+    parse, preserving filtering.rs:44-57 parity)."""
+    return parse_maybe_array(
+        buf, pos, lambda b, p: (lambda n, np: (bytes(n), np))(
+            *parse_name(b, p)))
+
+
 # ---------------------------------------------------------------------------
 # streams (special/stream.rs) and the any-object parser (special/object.rs)
 # ---------------------------------------------------------------------------
 
 
-def parse_stream_from_dict(buf: bytes, pos: int, raw: RawDict,
-                           decrypt=None) -> tuple[bytes, int]:
-    """Parse + decode stream content given its already-parsed dict.
-
-    ``pos`` points just past ``>>``.  Layout per stream.rs:33-49:
-    ``multispace0 'stream' line_ending <length bytes> multispace0 'endstream'``.
-    ``/Length`` must be a direct integer (the reference's Extract path does
-    not follow references for it).
-
-    ``decrypt``: optional ``bytes -> bytes`` applied to the raw payload
-    BEFORE the filter chain (PDF decryption order; pdf/crypt.py).
-    """
+def parse_stream_raw_from_dict(buf: bytes, pos: int, raw: RawDict,
+                               decrypt=None, validate_filters=True):
+    """Stream layout parse WITHOUT running the filter chain: returns
+    ``(filters, parms, raw_payload, pos)`` - the payload is decrypted
+    but still encoded.  ``validate_filters=False`` skips the
+    supported-set check, for consumers that route image codecs to real
+    decoders (image XObjects: a /DCTDecode payload IS a JPEG file)
+    instead of rejecting them like the text path."""
     length = raw.require(b"Length", parse_unsigned)
     span = raw.pop(b"Filter")
     if span is not None:
-        filters, _ = parse_filter_list(buf, span[0])
+        lister = (parse_filter_list if validate_filters
+                  else parse_filter_list_lenient)
+        filters, _ = lister(buf, span[0])
     else:
         filters = []
     # /DecodeParms: dict-or-null, maybe-array aligned with the filter
@@ -575,6 +583,23 @@ def parse_stream_from_dict(buf: bytes, pos: int, raw: RawDict,
     pos = lex.tag(buf, pos, b"endstream")
     if decrypt is not None:
         content = decrypt(content)
+    return filters, parms, content, pos
+
+
+def parse_stream_from_dict(buf: bytes, pos: int, raw: RawDict,
+                           decrypt=None) -> tuple[bytes, int]:
+    """Parse + decode stream content given its already-parsed dict.
+
+    ``pos`` points just past ``>>``.  Layout per stream.rs:33-49:
+    ``multispace0 'stream' line_ending <length bytes> multispace0 'endstream'``.
+    ``/Length`` must be a direct integer (the reference's Extract path does
+    not follow references for it).
+
+    ``decrypt``: optional ``bytes -> bytes`` applied to the raw payload
+    BEFORE the filter chain (PDF decryption order; pdf/crypt.py).
+    """
+    filters, parms, content, pos = parse_stream_raw_from_dict(
+        buf, pos, raw, decrypt=decrypt)
     return decode_chain(filters, content, parms), pos
 
 
