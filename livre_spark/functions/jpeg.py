@@ -4,8 +4,9 @@ The reference rejects ``DCTDecode`` outright (src/filtering.rs:50-53 -
 image codecs are out of its text-extraction scope), and this container
 has no codec library - but JPEG is the most common image format in
 crawls, so ``decode_jpeg`` implements it for real: baseline sequential
-DCT (SOF0/1) AND progressive (SOF2 - spectral selection + successive
-approximation, the libjpeg-default script shape).  Scans decode into
+DCT (SOF0/1, interleaved or one-scan-per-component multi-scan) AND
+progressive (SOF2 - spectral selection + successive approximation, the
+libjpeg-default script shape).  Scans decode into
 per-component coefficient arrays (marker parse DQT/DHT/SOFn/DRI/SOS,
 canonical Huffman with byte unstuffing and restart markers, DC
 first/refine, AC first with EOB runs, AC refinement per T.81 G.1.2.3);
@@ -546,7 +547,16 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     if frame is None or not scans:
         raise JpegError("missing SOF/SOS")
     if not progressive and len(scans) > 1:
-        raise NotImplementedError("multi-scan sequential JPEG")
+        # multi-scan SEQUENTIAL: the common layout is one
+        # non-interleaved scan per component, each coding that
+        # component's own block grid exactly once (subset-INTERLEAVED
+        # sequential scans have a different MCU geometry and stay out)
+        if any(len(s["sel"]) != 1 for s in scans):
+            raise NotImplementedError(
+                "subset-interleaved multi-scan sequential JPEG")
+        coded = [cid for s in scans for cid, _td, _ta in s["sel"]]
+        if sorted(coded) != sorted(c["id"] for c in frame["comps"]):
+            raise JpegError("scan/frame component coverage mismatch")
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     if w == 0 or h == 0:
         raise JpegError("bad dimensions")
@@ -1071,5 +1081,102 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes, *,
             emit_scan(1, lambda o, ci=ci, ss=ss, se=se: _emit_ac_refine(
                 o, own_blocks(ci), ss, se, 0),
                 [ci + 1], ss, se, 1, 0, needs_table=True)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _emit_seq_blocks(dc_out, ac_out, bit_out, blocks) -> None:
+    """Sequential full-band entropy over a block iterator; the three
+    sinks let one routine serve the symbol-collection and bit-writing
+    passes (dc_out/ac_out get symbols, bit_out gets amplitude bits)."""
+    pred = 0
+    for coef in blocks:
+        flat = coef.reshape(64)
+        diff = int(flat[0]) - pred
+        pred = int(flat[0])
+        size = _size_of(diff)
+        dc_out(size)
+        if size:
+            amp = diff if diff > 0 else diff + (1 << size) - 1
+            bit_out(amp, size)
+        zz = [int(flat[i]) for i in ZIGZAG]
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_out(0xF0)
+                run -= 16
+            size = _size_of(zz[k])
+            ac_out((run << 4) | size)
+            v = zz[k]
+            amp = v if v > 0 else v + (1 << size) - 1
+            bit_out(amp, size)
+            run = 0
+        if run:
+            ac_out(0x00)  # EOB
+
+
+def encode_jpeg_multiscan(width: int, height: int, pixels: bytes, *,
+                          gray: bool = False, subsampling: str = "444",
+                          quant: int = 1) -> bytes:
+    """SEQUENTIAL multi-scan twin of ``encode_jpeg``: one
+    non-interleaved scan per component (the common scanner layout),
+    per-scan Huffman tables, each scan walking the component's OWN
+    block grid.  Decodes byte-identically to the interleaved baseline
+    (the MCU-padding blocks it leaves uncoded sit outside the crop)."""
+    nc = 1 if gray else 3
+    samp, comp_blocks, q, mcux, mcuy = _plan_coefficients(
+        width, height, pixels, gray, subsampling, quant)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(payload) + 2) + payload)
+
+    zz_q = np.empty(64, dtype=np.int32)
+    zz_q[:] = q.reshape(64)[ZIGZAG]
+    seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, nc))
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    seg(0xC0, bytes(sof))
+
+    for ci, (hs, vs) in enumerate(samp):
+        comp_w = (width * hs + hmax - 1) // hmax
+        comp_h = (height * vs + vmax - 1) // vmax
+        bw, bh = (comp_w + 7) // 8, (comp_h + 7) // 8
+        blocks = [comp_blocks[ci][by, bx]
+                  for by in range(bh) for bx in range(bw)]
+        dc_syms: set[int] = set()
+        ac_syms: set[int] = set()
+        _emit_seq_blocks(dc_syms.add, ac_syms.add, lambda v, k: None,
+                         blocks)
+        dcc, dcs = _canonical_single_length(sorted(dc_syms) or [0])
+        acc, acs = _canonical_single_length(sorted(ac_syms) or [0])
+        dc_code = {s: (ln, c) for (ln, c), s in
+                   _HuffTable(dcc, dcs).lookup.items()}
+        ac_code = {s: (ln, c) for (ln, c), s in
+                   _HuffTable(acc, acs).lookup.items()}
+        seg(0xC4, bytes([0x00]) + bytes(dcc) + dcs)
+        seg(0xC4, bytes([0x10]) + bytes(acc) + acs)
+        seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        writer = _BitWriter()
+
+        def w_dc(s, writer=writer, code=dc_code):
+            ln, c = code[s]
+            writer.bits(c, ln)
+
+        def w_ac(s, writer=writer, code=ac_code):
+            ln, c = code[s]
+            writer.bits(c, ln)
+
+        _emit_seq_blocks(w_dc, w_ac, writer.bits, blocks)
+        writer.flush()
+        out.extend(writer.out)
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -562,3 +562,38 @@ def test_spark_video_frame_features(spark):
     assert got[1]["n_frames"] == 5 and got[1]["sampled"] == 2
     assert got[1]["error"] is None
     assert got[2]["error"] is not None
+
+
+@pytest.mark.parametrize("sub, q", [("444", 1), ("420", 2), ("422", 3)])
+def test_jpeg_multiscan_sequential_matches_interleaved(sub, q):
+    """One non-interleaved scan per component (the common scanner
+    layout) decodes byte-identically to the interleaved baseline."""
+    from livre_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_multiscan,
+    )
+    w, h = 19, 13
+    px = _smooth_rgb(w, h)
+    assert decode_jpeg(encode_jpeg_multiscan(w, h, px, subsampling=sub,
+                                             quant=q)) == \
+        decode_jpeg(encode_jpeg(w, h, px, subsampling=sub, quant=q))
+
+
+def test_jpeg_multiscan_component_coverage_checked():
+    from livre_spark.functions.jpeg import (
+        JpegError, decode_jpeg, encode_jpeg_multiscan,
+    )
+    w, h = 16, 8
+    buf = bytearray(encode_jpeg_multiscan(w, h, _smooth_rgb(w, h)))
+    # drop the LAST scan (truncate before its DHT pair): component
+    # coverage mismatch must be a detected error, not silent gray
+    import struct as _s
+    # find the third-from-last DHT (each scan emits DHT,DHT,SOS)
+    positions = []
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] == 0xFF and buf[i + 1] == 0xC4:
+            positions.append(i)
+        i += 1
+    cut = positions[-2]  # start of the last scan's DHT pair
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(buf[:cut]) + b"\xff\xd9")
