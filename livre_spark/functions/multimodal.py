@@ -280,6 +280,8 @@ def _tiff_tags(buf: bytes) -> dict[int, list[int]]:
         e = ">"
     else:
         raise ImageDecodeError("bad TIFF signature")
+    if len(buf) < 8:
+        raise ImageDecodeError("truncated TIFF header")
     (ifd_off,) = struct.unpack_from(e + "I", buf, 4)
     if ifd_off + 2 > len(buf):
         raise ImageDecodeError("truncated IFD")

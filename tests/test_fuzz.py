@@ -48,3 +48,89 @@ def test_fixture_pdfs_deterministic_under_repeat():
         r2 = extract_text(case["pdf"])
         assert r1["text"] == r2["text"]
         assert r1["spans"] == r2["spans"]
+
+
+# --- media decoder fuzz (crawl engines live on poisoned payloads) -----------
+
+_MEDIA_MAGICS = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a",
+                 b"GIF87a", b"II*\x00", b"MM\x00*", b"RIFFxxxxWAVE",
+                 b"P6\n", b"P5\n", b"BM", b""]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sampled_from(_MEDIA_MAGICS), st.binary(max_size=1024))
+def test_media_decode_random_bytes_contained(magic, tail):
+    """decode_image on arbitrary bytes (magic-prefixed to reach every
+    decoder) either returns a valid triple or raises a CONTAINED error
+    (ValueError family / NotImplementedError) - never crashes, hangs or
+    leaks an unexpected exception type."""
+    from livre_spark.functions.multimodal import decode_image
+    try:
+        w, h, feats = decode_image(magic + tail)
+        assert w >= 1 and h >= 1 and len(feats) == 16
+    except (ValueError, NotImplementedError):
+        pass  # ImageDecodeError/JpegError/GifError are ValueErrors
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_media_byte_flips_contained(data):
+    """Single byte flips in VALID media files stay contained."""
+    from livre_spark.functions.genimg import (
+        encode_bmp, encode_png, encode_tiff, encode_wav,
+    )
+    from livre_spark.functions.gif import encode_gif
+    from livre_spark.functions.jpeg import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
+    from livre_spark.functions.multimodal import decode_image
+
+    px = bytes((i * 17 + 3) & 0xFF for i in range(9 * 7 * 3))
+    gray = px[: 9 * 7]
+    palette = bytes(range(48))
+    idx = bytes(i % 16 for i in range(9 * 7))
+    files = [
+        encode_png(9, 7, px), encode_png(9, 7, px, interlace=1),
+        encode_jpeg(9, 7, px), encode_jpeg_progressive(9, 7, px),
+        encode_gif(9, 7, idx, palette),
+        encode_tiff(9, 7, px, compression="lzw", predictor=2),
+        encode_bmp(9, 7, px),
+        encode_wav(8000, 1, [i * 100 - 3000 for i in range(60)]),
+        b"P5\n9 7\n255\n" + gray,
+    ]
+    buf = bytearray(data.draw(st.sampled_from(files)))
+    pos = data.draw(st.integers(0, len(buf) - 1))
+    buf[pos] ^= data.draw(st.integers(1, 255))
+    try:
+        w, h, feats = decode_image(bytes(buf))
+        assert w >= 1 and h >= 1 and len(feats) == 16
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_pdf_image_extraction_byte_flips_contained(data):
+    """Byte flips in an image-bearing PDF: extract_pdf_images either
+    reports rows (with contained per-image errors) or raises the pdf
+    kernel's own contained error types."""
+    from livre_spark.functions.jpeg import encode_jpeg
+    from livre_spark.functions.pdfimages import extract_pdf_images
+    from livre_spark.pdf.errors import CutError, ParseError
+    from livre_spark.pdf.genpdf import build_pdf
+
+    px = bytes([200, 64, 30] * (8 * 8))
+    pdf = bytearray(build_pdf(
+        [b"BT (x) Tj ET"],
+        images=[{"name": "Im1", "width": 8, "height": 8,
+                 "jpeg": encode_jpeg(8, 8, px)},
+                {"name": "Im2", "width": 4, "height": 4,
+                 "samples": bytes(48)}]))
+    pos = data.draw(st.integers(0, len(pdf) - 1))
+    pdf[pos] ^= data.draw(st.integers(1, 255))
+    try:
+        rows = extract_pdf_images(bytes(pdf))
+        for r in rows:
+            assert (r["features"] is None) == (r["error"] is not None)
+    except (ParseError, CutError, ValueError, NotImplementedError):
+        pass
