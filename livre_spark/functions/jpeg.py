@@ -13,9 +13,10 @@ first/refine, AC first with EOB runs, AC refinement per T.81 G.1.2.3);
 dequantize + orthonormal float64 IDCT + nearest chroma upsampling +
 BT.601 YCbCr->RGB run once at the end, so progressive and baseline
 files carrying the same coefficients decode BYTE-IDENTICALLY - the
-property the fixtures pin.  Grayscale and 3-component frames at any
-baseline sampling grid (4:4:4, 4:2:2, 4:2:0); arithmetic coding and
-12-bit precision raise ``NotImplementedError`` - ``jpeg_dimensions``
+property the fixtures pin.  Grayscale, 3-component YCbCr at any
+baseline sampling grid (4:4:4, 4:2:2, 4:2:0) and Adobe 4-component
+CMYK/YCCK (APP14 transform, inverted-ink convention); arithmetic
+coding and 12-bit precision raise ``NotImplementedError`` - ``jpeg_dimensions``
 still recovers width/height from ANY SOFn header so those rows keep
 their metadata.
 
@@ -474,9 +475,13 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     frame = None
     progressive = False
     restart_interval = 0
+    adobe_transform = None
     scans: list[dict] = []
     for marker, payload, ppos in _all_segments(buf):
-        if marker == 0xDB:  # DQT
+        if marker == 0xEE and payload[:5] == b"Adobe":  # APP14
+            if len(payload) >= 12:
+                adobe_transform = payload[11]
+        elif marker == 0xDB:  # DQT
             i = 0
             while i < len(payload):
                 pq, tq = payload[i] >> 4, payload[i] & 0x0F
@@ -517,7 +522,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(f"JPEG {nc}-component")
             comps = []
             for ci in range(nc):
@@ -594,6 +599,21 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     stacked = np.stack(out_planes, axis=-1)
     if len(comps) == 3:
         stacked = _rgb_from_ycbcr(stacked)
+    elif len(comps) == 4:
+        # Adobe CMYK/YCCK (APP14 transform 2 = YCCK: the CMY channels
+        # travel as YCbCr of their INVERSES).  Adobe stores ink values
+        # inverted, so stored bytes s relate to ink i by i = 255 - s and
+        # RGB = (255-C)(255-K)/255 = s_cmy * s_k / 255 - the libjpeg
+        # convention real decoders follow.
+        if adobe_transform == 2:
+            stacked = np.concatenate(
+                [_rgb_from_ycbcr(stacked[..., :3]), stacked[..., 3:]],
+                axis=-1)
+        elif adobe_transform not in (None, 0):
+            raise NotImplementedError(
+                f"Adobe transform {adobe_transform} for 4 components")
+        clipped = np.clip(stacked, 0.0, 255.0)
+        stacked = clipped[..., :3] * clipped[..., 3:4] / 255.0
     samples = np.clip(np.rint(stacked), 0, 255).astype(np.uint8)
     return w, h, samples.tobytes()
 
@@ -1152,6 +1172,81 @@ def encode_jpeg_multiscan(width: int, height: int, pixels: bytes, *,
         bw, bh = (comp_w + 7) // 8, (comp_h + 7) // 8
         blocks = [comp_blocks[ci][by, bx]
                   for by in range(bh) for bx in range(bw)]
+        dc_syms: set[int] = set()
+        ac_syms: set[int] = set()
+        _emit_seq_blocks(dc_syms.add, ac_syms.add, lambda v, k: None,
+                         blocks)
+        dcc, dcs = _canonical_single_length(sorted(dc_syms) or [0])
+        acc, acs = _canonical_single_length(sorted(ac_syms) or [0])
+        dc_code = {s: (ln, c) for (ln, c), s in
+                   _HuffTable(dcc, dcs).lookup.items()}
+        ac_code = {s: (ln, c) for (ln, c), s in
+                   _HuffTable(acc, acs).lookup.items()}
+        seg(0xC4, bytes([0x00]) + bytes(dcc) + dcs)
+        seg(0xC4, bytes([0x10]) + bytes(acc) + acs)
+        seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        writer = _BitWriter()
+
+        def w_dc(s, writer=writer, code=dc_code):
+            ln, c = code[s]
+            writer.bits(c, ln)
+
+        def w_ac(s, writer=writer, code=ac_code):
+            ln, c = code[s]
+            writer.bits(c, ln)
+
+        _emit_seq_blocks(w_dc, w_ac, writer.bits, blocks)
+        writer.flush()
+        out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(width: int, height: int, cmyk: bytes, *,
+                     transform: int = 2, quant: int = 1) -> bytes:
+    """Adobe 4-component fixture twin: raw (non-inverted) CMYK ink
+    samples in, APP14-tagged JPEG out - transform 0 stores inverted
+    CMYK directly, transform 2 (YCCK) runs the inverted CMY through
+    the YCbCr forward transform.  One non-interleaved scan per channel
+    (the multi-scan layout the decoder walks per-component)."""
+    if len(cmyk) != width * height * 4:
+        raise ValueError("pixel buffer size mismatch")
+    if transform not in (0, 2):
+        raise ValueError(f"transform {transform}")
+    arr = np.frombuffer(cmyk, dtype=np.uint8).reshape(
+        height, width, 4).astype(np.float64)
+    inv = 255.0 - arr  # Adobe stores ink inverted
+    if transform == 2:
+        chans = np.concatenate(
+            [_ycbcr_from_rgb(inv[..., :3]), inv[..., 3:]], axis=-1)
+    else:
+        chans = inv
+    mcux, mcuy = (width + 7) // 8, (height + 7) // 8
+    q = np.full((8, 8), quant, dtype=np.int32)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(payload) + 2) + payload)
+
+    seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform]))
+    zz_q = np.empty(64, dtype=np.int32)
+    zz_q[:] = q.reshape(64)[ZIGZAG]
+    seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, 4))
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, 0])
+    seg(0xC0, bytes(sof))
+
+    for ci in range(4):
+        p = np.pad(chans[..., ci],
+                   ((0, mcuy * 8 - height), (0, mcux * 8 - width)),
+                   mode="edge")
+        blocks = []
+        for by in range(mcuy):
+            for bx in range(mcux):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                blocks.append(np.rint(dct2(block) / q).astype(np.int32))
         dc_syms: set[int] = set()
         ac_syms: set[int] = set()
         _emit_seq_blocks(dc_syms.add, ac_syms.add, lambda v, k: None,

@@ -597,3 +597,29 @@ def test_jpeg_multiscan_component_coverage_checked():
     cut = positions[-2]  # start of the last scan's DHT pair
     with pytest.raises(JpegError):
         decode_jpeg(bytes(buf[:cut]) + b"\xff\xd9")
+
+
+@pytest.mark.parametrize("tf", [0, 2])
+def test_jpeg_cmyk_adobe(tf):
+    """Adobe 4-component JPEG (APP14 transform 0 = inverted CMYK,
+    2 = YCCK): decode converts to RGB via the libjpeg convention
+    RGB = stored_cmy * stored_k / 255.  Constant ink is exact."""
+    from livre_spark.functions.jpeg import decode_jpeg, encode_jpeg_cmyk
+    w, h = 16, 12
+    cmyk = bytes([40, 200, 10, 30] * (w * h))
+    gw, gh, samples = decode_jpeg(encode_jpeg_cmyk(w, h, cmyk,
+                                                   transform=tf))
+    a = np.frombuffer(cmyk, dtype=np.uint8).reshape(h, w, 4).astype(float)
+    exp = np.clip(np.rint((255.0 - a[..., :3]) * (255.0 - a[..., 3:4])
+                          / 255.0), 0, 255).astype(np.uint8)
+    assert (gw, gh) == (w, h)
+    assert samples == exp.tobytes()
+    # smooth ink gradients stay within transform rounding
+    cmyk2 = bytes(min(255, x * 3 + y * 2 + c * 10)
+                  for y in range(h) for x in range(w) for c in range(4))
+    _, _, s2 = decode_jpeg(encode_jpeg_cmyk(w, h, cmyk2, transform=tf))
+    a2 = np.frombuffer(cmyk2, dtype=np.uint8).reshape(h, w, 4).astype(float)
+    exp2 = np.clip(np.rint((255.0 - a2[..., :3]) * (255.0 - a2[..., 3:4])
+                           / 255.0), 0, 255).astype(int)
+    got2 = np.frombuffer(s2, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(got2 - exp2).max() <= 1
