@@ -351,7 +351,10 @@ def run_headline_queries(spark, probe_core: int | None = None):
            for n, runs in attempts.items()}
     if cal <= 0:
         return raw, dict(raw)
-    norm = {n: round(min(dt * (pr / cal) for dt, pr in runs), 3)
+    # a dead probe (pr=0) keeps the RAW time for that attempt instead
+    # of publishing an impossible 0.0s
+    norm = {n: round(min(dt * (pr / cal) if pr > 0 else dt
+                         for dt, pr in runs), 3)
             for n, runs in attempts.items()}
     return raw, norm
 
@@ -474,10 +477,14 @@ def measure_window(cores_n: int, cores_4n: int, corpus: str,
         p2, pp2 = kernel_pool_rate(cores, docs_path)
         spark_rate = n / dt
         # deflate each rate by its own concurrent probe; the pool side
-        # takes the better deflated draw of its two sandwich runs
-        pool_defl = max((p1 / pp1 if pp1 else 0.0),
-                        (p2 / pp2 if pp2 else 0.0))
-        spark_defl = spark_rate / sp if sp else 0.0
+        # takes the better deflated draw of its two sandwich runs.  A
+        # dead probe (rate 0) falls back to the UNdeflated rate for
+        # that run - degraded pairing beats a zero that would poison
+        # the fraction ratio (or divide by zero)
+        cal = max(pp1, pp2, sp, 1e-9)
+        pool_defl = max(p1 / (pp1 if pp1 > 0 else cal),
+                        p2 / (pp2 if pp2 > 0 else cal))
+        spark_defl = spark_rate / (sp if sp > 0 else cal)
         fraction = spark_defl / pool_defl if pool_defl else 0.0
         w[tag] = {"seconds": round(dt, 2), "docs": n,
                   "spark_rate": round(spark_rate, 1),
@@ -490,11 +497,13 @@ def measure_window(cores_n: int, cores_4n: int, corpus: str,
         w["4n"]["fraction"] / w["n"]["fraction"], 3)
     # steal-corrected raw scaling: probe-deflated spark rates, exact
     # worker-core factor (the reserved probe core is excluded on both
-    # levels, so cores_4n/cores_n stays the true 4.0)
-    defl_n = (w["n"]["spark_rate"] / w["n"]["probe_spark"]
-              if w["n"]["probe_spark"] else 0.0)
-    defl_4n = (w["4n"]["spark_rate"] / w["4n"]["probe_spark"]
-               if w["4n"]["probe_spark"] else 0.0)
+    # levels, so cores_4n/cores_n stays the true 4.0).  Dead probes
+    # degrade to the undeflated ratio rather than zeroing the window
+    pn = w["n"]["probe_spark"]
+    p4 = w["4n"]["probe_spark"]
+    cal2 = max(pn, p4, 1e-9)
+    defl_n = w["n"]["spark_rate"] / (pn if pn > 0 else cal2)
+    defl_4n = w["4n"]["spark_rate"] / (p4 if p4 > 0 else cal2)
     w["efficiency_raw"] = round(
         defl_4n / ((cores_4n / cores_n) * defl_n) if defl_n else 0.0, 3)
     w["efficiency_raw_unprobed"] = round(

@@ -374,6 +374,14 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # LOUD beats silently-wrong clusters: a path graph of diameter
+        # > max_iter would otherwise return intermediate labels as
+        # final components (and hash-mismatch the recursive-CTE oracle)
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still moving); raise max_iter "
+            f"for long-chain graphs")
     return labels
 
 

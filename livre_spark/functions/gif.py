@@ -183,18 +183,19 @@ def _iter_frames(buf: bytes, gct: bytes, pos: int):
                     rows[y * w : (y + 1) * w] = idx[src_row : src_row + w]
                     src_row += w
             idx = rows
+        import numpy as np
+
         n_colors = len(ct) // 3
-        out = bytearray(w * h * 3)
+        ia = np.frombuffer(bytes(idx), dtype=np.uint8)
+        if int(ia.max(initial=0)) >= n_colors:
+            raise GifError("color index out of range")
+        pal = np.frombuffer(ct[: n_colors * 3],
+                            dtype=np.uint8).reshape(-1, 3)
+        out = pal[ia].tobytes()
         mask = None
         if transparent is not None:
-            mask = bytearray(b"\x01" * (w * h))
-        for i, ci in enumerate(idx):
-            if ci >= n_colors:
-                raise GifError("color index out of range")
-            out[3 * i : 3 * i + 3] = ct[3 * ci : 3 * ci + 3]
-            if mask is not None and ci == transparent:
-                mask[i] = 0
-        yield left, top, w, h, bytes(out), (bytes(mask) if mask else None)
+            mask = (ia != transparent).astype(np.uint8).tobytes()
+        yield left, top, w, h, out, mask
         transparent = None  # graphics control applies to ONE frame
 
 
@@ -221,27 +222,23 @@ def decode_gif_frames(buf: bytes,
     sw, sh, gct, pos = _screen(buf)
     if sw == 0 or sh == 0:
         raise GifError("bad screen dimensions")
-    canvas = bytearray(sw * sh * 3)
+    import numpy as np
+
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
     frames: list[bytes] = []
     for left, top, w, h, rgb, mask in _iter_frames(buf, gct, pos):
-        for y in range(h):
-            cy = top + y
-            if cy >= sh:
-                break
-            row_w = min(w, sw - left) if left < sw else 0
-            if row_w <= 0:
-                continue
-            src0 = y * w
-            dst0 = (cy * sw + left) * 3
+        ch = min(h, sh - top) if top < sh else 0
+        cw = min(w, sw - left) if left < sw else 0
+        if ch > 0 and cw > 0:
+            fr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+            dst = canvas[top : top + ch, left : left + cw]
             if mask is None:
-                canvas[dst0 : dst0 + row_w * 3] = \
-                    rgb[src0 * 3 : (src0 + row_w) * 3]
+                dst[...] = fr[:ch, :cw]
             else:
-                for x in range(row_w):
-                    if mask[src0 + x]:
-                        canvas[dst0 + 3 * x : dst0 + 3 * x + 3] = \
-                            rgb[(src0 + x) * 3 : (src0 + x) * 3 + 3]
-        frames.append(bytes(canvas))
+                m = np.frombuffer(mask, dtype=np.uint8).reshape(h, w)
+                np.copyto(dst, fr[:ch, :cw],
+                          where=m[:ch, :cw, None].astype(bool))
+        frames.append(canvas.tobytes())
         if max_frames is not None and len(frames) >= max_frames:
             break
     if not frames:

@@ -337,6 +337,12 @@ def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(f"TIFF {spp} samples/pixel")
     if one(284, 1) != 1:
         raise NotImplementedError("planar TIFF")
+    # PhotometricInterpretation: 0 WhiteIsZero (fax/scanner gray,
+    # inverted below), 1 BlackIsZero, 2 RGB; palette(3)/CMYK(5)/YCbCr(6)
+    # etc. stay honest boundaries
+    photometric = one(262, 1 if spp == 1 else 2)
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photometric}")
     predictor = one(317, 1)
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -372,6 +378,8 @@ def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
         out += strip
     if len(out) != height * row_bytes:
         raise ImageDecodeError("pixel buffer size mismatch")
+    if photometric == 0:  # WhiteIsZero: invert to the common convention
+        out = (255 - np.frombuffer(bytes(out), np.uint8)).tobytes()
     # RGBA keeps its alpha channel in the sample stream, like PNG
     return width, height, bytes(out)
 

@@ -202,13 +202,17 @@ class Document:
             # the per-object decryption key needs the OWNING indirect
             # object's id; compressed objects are never encrypted (their
             # containing /ObjStm payload already was), so only this path
-            # sets the context
+            # sets the context.  SAVE/RESTORE, not set/clear: a parser
+            # may nest a build (e.g. an /Info entry whose value is an
+            # indirect ref) and the OUTER object's strings must keep
+            # decrypting under the outer id afterwards
+            prev_ref = self._current_ref
             self._current_ref = ref.id
             try:
                 rid, value, _ = ob.parse_indirect(
                     self.buf, offset, lambda b, p: parser(self, b, p))
             finally:
-                self._current_ref = None
+                self._current_ref = prev_ref
             return value
         # compressed: build the owning ObjectStream, then index into it,
         # following the /Extends chain on a miss (object_stream.rs:71-92,
@@ -307,6 +311,9 @@ class Document:
                 return
             if kids is None:
                 page_no[0] += 1
+            # leaf images get their page ordinal; images hung on a
+            # non-leaf Pages node belong to no single page -> None
+            owner_page = page_no[0] if kids is None else None
             for name, xref in xobjs.items():
                 if len(images) >= max_images or xref.id in seen_xobjs:
                     continue
@@ -318,7 +325,7 @@ class Document:
                 if info.get("subtype") != "Image":
                     continue
                 info["name"] = name
-                info["page"] = page_no[0]
+                info["page"] = owner_page
                 images.append(info)
             for kid in kids or []:
                 visit(kid)

@@ -351,21 +351,30 @@ def build_pdf(page_contents: list[bytes | None], *,
         # under the /Info object's OWN id (PDF 32000-1 7.6.2 - a string
         # uses the key of the indirect object containing it)
         info_id = b.reserve()
+
+        def _string_token(value: str, owner_id: int) -> bytes:
+            latin1 = (all(ord(c) <= 0xFF for c in value)
+                      and not value.startswith("\xfe\xff"))
+            payload = (value.encode("latin-1") if latin1
+                       else b"\xfe\xff" + value.encode("utf-16-be"))
+            if b.encryptor is not None:
+                return (b"<" + b.encryptor(owner_id, payload)
+                        .hex().upper().encode() + b">")
+            if latin1 and "\r" not in value:
+                return b"(" + esc_literal(payload) + b")"
+            return b"<" + payload.hex().upper().encode() + b">"
+
         parts = [b"<<"]
         for k, v in info.items():
             parts.append(b"/" + k.encode("latin-1") + b" ")
-            latin1 = (all(ord(c) <= 0xFF for c in v)
-                      and not v.startswith("\xfe\xff"))
-            payload = (v.encode("latin-1") if latin1
-                       else b"\xfe\xff" + v.encode("utf-16-be"))
-            if b.encryptor is not None:
-                enc_payload = b.encryptor(info_id, payload)
-                parts.append(b"<" + enc_payload.hex().upper().encode()
-                             + b">")
-            elif latin1 and "\r" not in v:
-                parts.append(b"(" + esc_literal(payload) + b")")
+            if isinstance(v, tuple) and v[0] == "indirect":
+                # value as an INDIRECT string object - encrypted under
+                # ITS OWN id per 7.6.2, exercising the nested-build
+                # decryption-context restore
+                sid = b.add(_string_token(v[1], b._next))
+                parts.append(str(sid).encode() + b" 0 R")
             else:
-                parts.append(b"<" + payload.hex().upper().encode() + b">")
+                parts.append(_string_token(v, info_id))
         parts.append(b">>")
         b.set(info_id, b"".join(parts))
         extra_trailer += b"/Info " + str(info_id).encode() + b" 0 R"

@@ -101,7 +101,15 @@ class IcebergSink:
         for k, v in self.snapshot_props.items():
             # surfaces as snapshot summary metadata -> run_id lineage
             writer = writer.option(f"snapshot-property.{k}", str(v))
-        writer.append()
+        try:
+            writer.append()
+        except Exception as exc:
+            # DataFrameWriterV2.append never creates the table; the
+            # first run against a fresh namespace bootstraps it here
+            if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc) and \
+                    "NoSuchTableException" not in type(exc).__name__:
+                raise
+            writer.create()
 
     def read_or_none(self, spark: SparkSession,
                      table: str) -> DataFrame | None:

@@ -460,3 +460,20 @@ def test_strf_identity_strings_plaintext():
     dec = build_decryptor(enc, 0, {}, (id0,))
     assert dec.mode == "aesv2" and dec.string_mode == "identity"
     assert dec.decrypt_string(7, 0, b"already plain") == b"already plain"
+
+
+@pytest.mark.parametrize("scheme", ["rc4-128", "aes-128"])
+def test_info_indirect_then_inline_decrypts_both(scheme):
+    """Regression: a nested build (indirect /Info value) must RESTORE
+    the outer object's decryption context, not clear it - otherwise the
+    inline string parsed after it silently skips /StrF decryption and
+    info() returns ciphertext."""
+    from livre_spark.pdf.document import open_document
+    from livre_spark.pdf.genpdf import build_pdf
+
+    info = {"Author": ("indirect", "Anaïs (indirect)"),
+            "Title": "inline after the nested build"}
+    pdf = build_pdf([b"BT (x) Tj ET"], encrypt=scheme, info=info)
+    got = open_document(pdf).info()
+    assert got == {"Author": "Anaïs (indirect)",
+                   "Title": "inline after the nested build"}

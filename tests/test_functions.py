@@ -289,3 +289,19 @@ def test_hash_fn_knob_xxhash64(spark, docs):
     mh = dd.minhash_signature_df(docs, "text", "doc_id", 4, 3,
                                  hash_fn="xxhash64")
     assert mh.filter("mh0 < -1").count() == 0  # range respected
+
+
+def test_connected_components_chain_and_nonconvergence(spark):
+    """A 6-node chain converges to one component; an insufficient
+    max_iter raises LOUDLY instead of returning intermediate labels."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(10, 11)],
+        "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in dd.connected_components(pairs).collect()}
+    assert all(got[n] == 0 for n in range(6))
+    assert got[10] == got[11] == 10
+    with _pytest.raises(ValueError, match="did not converge"):
+        dd.connected_components(pairs, max_iter=2)

@@ -623,3 +623,27 @@ def test_jpeg_cmyk_adobe(tf):
                            / 255.0), 0, 255).astype(int)
     got2 = np.frombuffer(s2, dtype=np.uint8).reshape(h, w, 3).astype(int)
     assert np.abs(got2 - exp2).max() <= 1
+
+
+def test_tiff_white_is_zero_inverted():
+    """Photometric 0 (WhiteIsZero, the fax/scanner convention) decodes
+    inverted; photometric 3 (palette) is an honest boundary."""
+    import struct as _s
+    from livre_spark.functions.genimg import encode_tiff
+    w, h = 6, 4
+    px = _gradient(w * h)
+    buf = bytearray(encode_tiff(w, h, px, spp=1))
+    n = _s.unpack_from("<H", buf, 8)[0]
+    for t in range(n):
+        off = 10 + 12 * t
+        if _s.unpack_from("<H", buf, off)[0] == 262:
+            _s.pack_into("<H", buf, off + 8, 0)      # -> WhiteIsZero
+    gw, gh, feats = decode_image(bytes(buf))
+    inv = bytes(255 - b for b in px)
+    assert (gw, gh) == (w, h) and feats == _expected_features(inv)
+    for t in range(n):
+        off = 10 + 12 * t
+        if _s.unpack_from("<H", buf, off)[0] == 262:
+            _s.pack_into("<H", buf, off + 8, 3)      # -> palette
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(buf))
