@@ -19,7 +19,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, DoubleType, FloatType, IntegerType, LongType,
+    ArrayType, DoubleType, FloatType, IntegerType, LongType, MapType,
     StringType, StructField, StructType,
 )
 
@@ -43,6 +43,9 @@ EXTRACTED_SCHEMA = StructType([
     StructField("parse_ms", DoubleType()),
     StructField("bytes_in", LongType()),
     StructField("partition_id", IntegerType()),
+    # /Info metadata (decrypted for encrypted docs) - populated only
+    # under with_info=True, else null; additive, never breaks readers
+    StructField("info", MapType(StringType(), StringType())),
 ])
 
 _SPAN_PA = pa.struct([
@@ -56,12 +59,14 @@ _OUT_PA = pa.schema([
     ("spans", pa.list_(_SPAN_PA)), ("error", pa.string()),
     ("parse_ms", pa.float64()), ("bytes_in", pa.int64()),
     ("partition_id", pa.int32()),
+    ("info", pa.map_(pa.string(), pa.string())),
 ])
 
 
 def _extract_batches(batches: Iterator[pa.RecordBatch],
                      cmap: bool = False,
-                     strip_inline: bool = False) -> Iterator[pa.RecordBatch]:
+                     strip_inline: bool = False,
+                     with_info: bool = False) -> Iterator[pa.RecordBatch]:
     """mapInArrow body: (url, html) batches -> EXTRACTED_SCHEMA batches."""
     from pyspark import TaskContext
 
@@ -71,15 +76,18 @@ def _extract_batches(batches: Iterator[pa.RecordBatch],
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         cols = {k: [] for k in ("url", "text", "n_pages", "n_spans",
-                                "spans", "error", "parse_ms", "bytes_in")}
+                                "spans", "error", "parse_ms", "bytes_in",
+                                "info")}
         for url, html in zip(urls, htmls):
             buf = bytes(html) if html is not None else b""
             if not is_pdf(buf):
                 result = {"text": "", "spans": [], "n_pages": 0,
-                          "error": "NotAPdf", "parse_ms": 0.0}
+                          "error": "NotAPdf", "parse_ms": 0.0,
+                          "info": None}
             else:
                 result = extract_text(buf, cmap=cmap,
-                                      strip_inline=strip_inline)
+                                      strip_inline=strip_inline,
+                                      with_info=with_info)
             cols["url"].append(url)
             cols["text"].append(result["text"])
             cols["n_pages"].append(result["n_pages"])
@@ -88,6 +96,7 @@ def _extract_batches(batches: Iterator[pa.RecordBatch],
             cols["error"].append(result["error"])
             cols["parse_ms"].append(result["parse_ms"])
             cols["bytes_in"].append(len(buf))
+            cols["info"].append(result.get("info"))
         arrays = [
             pa.array(cols["url"], pa.string()),
             pa.array(cols["text"], pa.string()),
@@ -98,12 +107,14 @@ def _extract_batches(batches: Iterator[pa.RecordBatch],
             pa.array(cols["parse_ms"], pa.float64()),
             pa.array(cols["bytes_in"], pa.int64()),
             pa.array([pid] * len(urls), pa.int32()),
+            pa.array(cols["info"], pa.map_(pa.string(), pa.string())),
         ]
         yield pa.RecordBatch.from_arrays(arrays, schema=_OUT_PA)
 
 
 def extract_documents(pages: DataFrame, cmap: bool = False,
-                      strip_inline: bool = False) -> DataFrame:
+                      strip_inline: bool = False,
+                      with_info: bool = False) -> DataFrame:
     """Run the extraction kernel over a (url, html) DataFrame.
 
     Columns are pruned to exactly (url, html) before the UDF so Catalyst
@@ -111,12 +122,14 @@ def extract_documents(pages: DataFrame, cmap: bool = False,
 
     ``cmap=True`` switches show-string decode to the opt-in /ToUnicode
     CMap mode (pdf/cmap.py); ``strip_inline=True`` removes BI/ID/EI
-    inline-image spans pre-tokenization (pdf/inline.py).  The defaults
-    stay reference-byte-identical.
+    inline-image spans pre-tokenization (pdf/inline.py);
+    ``with_info=True`` populates the ``info`` metadata map (decrypted
+    /Info strings).  The defaults stay reference-byte-identical.
     """
     def body(batches):
         return _extract_batches(batches, cmap=cmap,
-                                strip_inline=strip_inline)
+                                strip_inline=strip_inline,
+                                with_info=with_info)
 
     return pages.select("url", "html").mapInArrow(
         body, schema=EXTRACTED_SCHEMA)
@@ -163,7 +176,9 @@ def extract_html_documents(pages: DataFrame,
         F.lit(None).cast("string").alias("error"),
         F.lit(0.0).alias("parse_ms"),
         F.length("html").cast("long").alias("bytes_in"),
-        F.spark_partition_id().alias("partition_id"))
+        F.spark_partition_id().alias("partition_id"),
+        F.lit(None).cast(MapType(StringType(), StringType()))
+        .alias("info"))
 
 
 def explode_spans(extracted: DataFrame) -> DataFrame:

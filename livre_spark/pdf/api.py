@@ -17,7 +17,8 @@ from .errors import ParseError
 
 
 def extract_text(buf: bytes, cmap: bool = False,
-                 strip_inline: bool = False) -> dict:
+                 strip_inline: bool = False,
+                 with_info: bool = False) -> dict:
     """Parse one PDF byte stream end-to-end.
 
     Returns ``{text, spans, n_pages, error, parse_ms}`` where
@@ -37,16 +38,26 @@ def extract_text(buf: bytes, cmap: bool = False,
     Type0/Identity-H glyph codes become readable Unicode.
     ``strip_inline=True`` (extension, see inline.py) removes BI/ID/EI
     inline-image spans before tokenization, recovering text the binary
-    payload would otherwise poison.  The defaults stay byte-identical to
-    the reference heuristic.
+    payload would otherwise poison.  ``with_info=True`` (extension, see
+    Document.info) adds ``info``: the decoded - and for encrypted docs
+    DECRYPTED - /Info dictionary as str->str, or None.  The defaults
+    stay byte-identical to the reference heuristic.
     """
     t0 = time.perf_counter()
     text_parts: list[str] = []
     spans: list[dict] = []
     n_pages = 0
     error: str | None = None
+    info = None
     try:
         doc = open_document(buf)
+        if with_info:
+            try:
+                raw_info = doc.info()
+                if raw_info is not None:
+                    info = {k: str(v) for k, v in raw_info.items()}
+            except Exception:
+                info = None  # metadata failure never poisons the text
         pages = doc.pages()
         n_pages = len(pages)
         base = 0
@@ -90,6 +101,7 @@ def extract_text(buf: bytes, cmap: bool = False,
         "n_pages": n_pages,
         "error": error,
         "parse_ms": parse_ms,
+        "info": info,
     }
 
 

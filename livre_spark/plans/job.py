@@ -161,6 +161,7 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
                  write_spans: bool = True,
                  cmap: bool = False,
                  strip_inline: bool = False,
+                 with_info: bool = False,
                  html_mode: str | None = None,
                  run_id: str | None = None,
                  sink: TableSink | None = None) -> dict:
@@ -193,7 +194,8 @@ def run_pipeline(spark: SparkSession, source: str, output_dir: str,
     pdf_pages = size_bucketed_repartition(pdf_magic_filter(pages),
                                           size_col=size_col)
     extracted = extract_documents(pdf_pages, cmap=cmap,
-                                  strip_inline=strip_inline)
+                                  strip_inline=strip_inline,
+                                  with_info=with_info)
     if html_mode is not None:
         from ..functions.htmltext import looks_like_html
         from ..operators.extraction import _pdf_magic, extract_html_documents

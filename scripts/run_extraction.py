@@ -33,6 +33,9 @@ def main() -> None:
     parser.add_argument("--cmap", action="store_true",
                         help="decode via /ToUnicode CMaps (extension; "
                              "default stays reference-byte-identical)")
+    parser.add_argument("--with-info", action="store_true",
+                        help="populate the info column with the decoded"
+                             " (and decrypted) /Info metadata map")
     parser.add_argument("--strip-inline-images", action="store_true",
                         help="remove BI/ID/EI inline-image spans before "
                              "tokenization (extension; recovers text on "
@@ -64,6 +67,7 @@ def main() -> None:
                         write_spans=not args.no_spans,
                         cmap=args.cmap,
                         strip_inline=args.strip_inline_images,
+                        with_info=args.with_info,
                         html_mode=args.html_mode)
     print(info)
     spark.stop()

@@ -215,3 +215,30 @@ def test_sink_seam_explicit_parquet_identical(spark, corpus_path, tmp_path):
     ice = IcebergSink("lake.crawl", snapshot_props={"run_id": "r1"})
     assert ice.location("documents_text") == "lake.crawl.documents_text"
     assert ice.read_or_none(spark, "documents_text") is None
+
+
+def test_with_info_metadata_column(spark, tmp_path):
+    """with_info=True populates the info map - decrypted for encrypted
+    docs; default runs leave it null (schema additive)."""
+    from livre_spark.operators.extraction import extract_documents
+    from livre_spark.pdf.genpdf import build_pdf
+
+    rows = [
+        ("u-plain", bytearray(build_pdf(
+            [b"BT (a) Tj ET"], info={"Title": "plain doc"}))),
+        ("u-enc", bytearray(build_pdf(
+            [b"BT (b) Tj ET"], encrypt="rc4-128",
+            info={"Title": "secret doc", "Author": "Anaïs"}))),
+        ("u-noinfo", bytearray(build_pdf([b"BT (c) Tj ET"]))),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in
+           extract_documents(pages, with_info=True).collect()}
+    assert got["u-plain"]["info"] == {"Title": "plain doc"}
+    assert got["u-enc"]["info"] == {"Title": "secret doc",
+                                    "Author": "Anaïs"}
+    assert got["u-noinfo"]["info"] is None
+    assert got["u-enc"]["text"] == "\nb"  # extraction itself unchanged
+    # default: column exists, stays null
+    got2 = {r["url"]: r for r in extract_documents(pages).collect()}
+    assert all(got2[u]["info"] is None for u in got2)
