@@ -519,11 +519,15 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 progressive = True
             else:
                 raise NotImplementedError(f"JPEG SOF{marker - 0xC0}")
+            if len(payload) < 6:
+                raise JpegError("short SOF")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
             if nc not in (1, 3, 4):
                 raise NotImplementedError(f"JPEG {nc}-component")
+            if len(payload) < 6 + 3 * nc:
+                raise JpegError("short SOF component list")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", payload,
@@ -532,11 +536,17 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
         elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise JpegError("short DRI")
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
+            if not payload:
+                raise JpegError("empty SOS")
             ns = payload[0]
+            if len(payload) < 1 + 2 * ns + 3:
+                raise JpegError("short SOS")
             sel = []
             for s in range(ns):
                 cs, tdta = payload[1 + 2 * s], payload[2 + 2 * s]
