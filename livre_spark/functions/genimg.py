@@ -38,12 +38,34 @@ def encode_png(width: int, height: int, pixels: bytes,
     16-bit depth); ``interlace=1`` emits Adam7 - each pass filtered as
     an independent sub-image, per spec."""
     ch = CHANNELS[color_type]
-    ps = ch * (depth // 8)  # bytes per pixel
-    assert len(pixels) == width * height * ps, "pixel buffer size mismatch"
+    if depth < 8:
+        # sub-byte gray/palette: ``pixels`` holds one raw value per
+        # pixel; pack MSB-first per row before filtering
+        assert ch == 1 and len(pixels) == width * height
+
+        def _pack(values: bytes, row_w: int) -> bytes:
+            out = bytearray()
+            for r in range(0, len(values), row_w):
+                row = values[r : r + row_w]
+                acc = nbits = 0
+                for v in row:
+                    acc = (acc << depth) | (v & ((1 << depth) - 1))
+                    nbits += depth
+                    if nbits == 8:
+                        out.append(acc)
+                        acc = nbits = 0
+                if nbits:
+                    out.append(acc << (8 - nbits))
+            return bytes(out)
+    else:
+        ps = ch * (depth // 8)  # bytes per pixel
+        assert len(pixels) == width * height * ps, \
+            "pixel buffer size mismatch"
     ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0,
                        interlace)
     if interlace == 0:
-        filtered = png_predict_encode(pixels, columns=width, colors=ch,
+        raw = _pack(pixels, width) if depth < 8 else pixels
+        filtered = png_predict_encode(raw, columns=width, colors=ch,
                                       bpc=depth, filter_type=filter_type)
     else:
         parts = []
@@ -52,10 +74,17 @@ def encode_png(width: int, height: int, pixels: bytes,
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub = b"".join(
-                pixels[(y * width + x) * ps : (y * width + x + 1) * ps]
-                for y in range(y0, height, dy)
-                for x in range(x0, width, dx))
+            if depth < 8:
+                sub = _pack(bytes(
+                    pixels[y * width + x]
+                    for y in range(y0, height, dy)
+                    for x in range(x0, width, dx)), pw)
+            else:
+                sub = b"".join(
+                    pixels[(y * width + x) * ps
+                           : (y * width + x + 1) * ps]
+                    for y in range(y0, height, dy)
+                    for x in range(x0, width, dx))
             parts.append(png_predict_encode(sub, columns=pw, colors=ch,
                                             bpc=depth,
                                             filter_type=filter_type))

@@ -2,7 +2,7 @@
 
 The Spark-side machinery - schema, Arrow batching, partitioning, UDF
 signatures - is format-agnostic.  ``decode_image`` really decodes
-**PNG** (8/16-bit gray/RGB/palette/alpha, Adam7 interlace, multi-chunk
+**PNG** (1/2/4/8/16-bit gray/RGB/palette/alpha, Adam7 interlace, multi-chunk
 IDAT, CRC-checked, all five row filters via the shared ``pdf.filters``
 PNG unfilter), **JPEG** (functions/jpeg.py: baseline AND
 progressive/SOF2, Huffman + IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, restart
@@ -72,9 +72,11 @@ def _unfilter_subimage(raw: bytes, off: int, pw: int, ph: int, ch: int,
                        depth: int) -> tuple[np.ndarray, int]:
     """Unfilter one (sub)image of ``ph`` rows x ``pw`` pixels starting at
     ``off`` in the inflated stream; returns (ph, pw, ch) uint8 samples
-    (16-bit depth keeps the high byte - the PNG byte order is big-endian,
-    so a stride-2 view is the standard 8-bit reduction) and the new
-    offset."""
+    and the new offset.  16-bit depth keeps the high byte (the PNG byte
+    order is big-endian, so a stride-2 view is the standard 8-bit
+    reduction); sub-byte depths (1/2/4, single-channel only) unpack
+    MSB-first per row - VALUES ARE RAW (palette indices or tiny gray
+    levels); the caller scales gray to 8-bit."""
     row_bytes = (ch * depth * pw + 7) // 8
     sub_len = ph * (1 + row_bytes)
     sub = raw[off : off + sub_len]
@@ -84,6 +86,15 @@ def _unfilter_subimage(raw: bytes, off: int, pw: int, ph: int, ch: int,
         flat = apply_predictor(sub, 10, colors=ch, bpc=depth, columns=pw)
     except Exception as exc:
         raise ImageDecodeError(f"row unfilter: {exc}") from exc
+    if depth < 8:
+        rows = np.frombuffer(flat, dtype=np.uint8).reshape(ph, row_bytes)
+        bits = np.unpackbits(rows, axis=1)  # MSB-first per byte = spec
+        per = 8 // depth
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        samples = (bits[:, : row_bytes * 8]
+                   .reshape(ph, row_bytes * per, depth) * weights)
+        arr = samples.sum(axis=2).astype(np.uint8)[:, :pw, None]
+        return arr, off + sub_len
     arr = np.frombuffer(flat, dtype=np.uint8).reshape(
         ph, pw, ch * (depth // 8))
     if depth == 16:
@@ -95,10 +106,12 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
     """Pure-Python PNG: IHDR + PLTE + multi-chunk IDAT -> zlib inflate ->
     PNG row unfilter (shared with pdf/filters.py predictors) -> samples.
 
-    8- and 16-bit depths (16-bit reduces to the high byte), interlace 0
-    and 1 (Adam7 - each of the seven passes is an independently filtered
-    sub-image, unfiltered separately and scattered into place); palette
-    images are expanded to RGB so the features see colors, not indices."""
+    All five depths (16-bit reduces to the high byte; 1/2/4-bit gray
+    and palette unpack MSB-first, gray scaled exactly to 8-bit),
+    interlace 0 and 1 (Adam7 - each of the seven passes is an
+    independently filtered sub-image, unfiltered separately and
+    scattered into place); palette images are expanded to RGB so the
+    features see colors, not indices."""
     if buf[:8] != _PNG_SIG:
         raise ImageDecodeError("bad PNG signature")
     pos = 8
@@ -119,12 +132,15 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
         if ctype == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
-            if depth not in (8, 16):
-                raise NotImplementedError(f"PNG bit depth {depth}")
+            if depth not in (1, 2, 4, 8, 16):
+                raise ImageDecodeError(f"PNG bit depth {depth}")
             if color_type not in _PNG_CHANNELS:
                 raise ImageDecodeError(f"PNG color type {color_type}")
             if depth == 16 and color_type == 3:
                 raise ImageDecodeError("16-bit palette PNG is invalid")
+            if depth < 8 and color_type not in (0, 3):
+                raise ImageDecodeError(
+                    f"sub-byte depth with color type {color_type}")
             if comp != 0 or filt != 0:
                 raise ImageDecodeError("bad IHDR compression/filter")
             if interlace not in (0, 1):
@@ -158,6 +174,12 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
         samples = out.tobytes()
     if off != len(raw):
         raise ImageDecodeError("pixel buffer size mismatch")
+    if depth < 8 and color_type == 0:
+        # scale tiny gray levels to 8-bit (255 divides exactly for
+        # 1/3/15, so this is the spec's sample expansion, not a guess)
+        factor = 255 // ((1 << depth) - 1)
+        samples = (np.frombuffer(samples, np.uint8) * factor) \
+            .astype(np.uint8).tobytes()
     if color_type == 3:
         if len(palette) < 3:
             raise ImageDecodeError("palette image without PLTE")

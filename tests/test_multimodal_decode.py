@@ -647,3 +647,35 @@ def test_tiff_white_is_zero_inverted():
             _s.pack_into("<H", buf, off + 8, 3)      # -> palette
     with pytest.raises(NotImplementedError):
         decode_image(bytes(buf))
+
+
+@pytest.mark.parametrize("interlace", [0, 1])
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub_byte_gray(depth, interlace):
+    """1/2/4-bit grayscale unpacks MSB-first and scales exactly to
+    8-bit (255 divides by 1/3/15)."""
+    w, h = 11, 5
+    levels = bytes((x + y) % (1 << depth) for y in range(h)
+                   for x in range(w))
+    buf = encode_png(w, h, levels, color_type=0, depth=depth,
+                     interlace=interlace)
+    gw, gh, feats = decode_image(buf)
+    factor = 255 // ((1 << depth) - 1)
+    expanded = bytes(v * factor for v in levels)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(expanded)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub_byte_palette(depth):
+    w, h = 9, 4
+    n = 1 << depth
+    palette = bytes(((i * 53 + c * 29) & 0xFF)
+                    for i in range(n) for c in range(3))
+    idx = bytes((x * 3 + y) % n for y in range(h) for x in range(w))
+    buf = encode_png(w, h, idx, color_type=3, palette=palette,
+                     depth=depth)
+    gw, gh, feats = decode_image(buf)
+    rgb = b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(rgb)
