@@ -9,7 +9,7 @@
                in integer cents; per-row float math (cosine etc.) is
                identical IEEE-754 on both engines and rounded to 6dp.
 
-Every registered query has a DuckDB twin (45 queries, 45 oracles);
+Every registered query has a DuckDB twin (46 queries, 46 oracles);
 genuinely non-SQL ops (stateful streaming dedup, windowed streaming
 aggregation) live behind pytest pins instead of registry entries.
 """
@@ -1231,6 +1231,53 @@ FROM documents
 """
 
 
+def _audio_batches(batches):
+    """Per row: text bytes as an 8-bit PCM payload inside a REAL
+    RIFF/WAVE container -> multimodal._decode_wav via decode_image
+    (header walk + sample extraction, the audio modality's real path).
+    The nibble histogram over PCM samples is the same char-count trick
+    the fake-path oracle established."""
+    import struct
+
+    import pandas as pd
+
+    from livre_spark.functions.multimodal import decode_image
+
+    for batch in batches:
+        out = {"url": [], "sample_rate": [], "channels": [],
+               "f6_count": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            data = str(text).encode("utf-8")
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+            body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data)
+            wav = b"RIFF" + struct.pack("<I", len(body)) + body
+            rate, ch, feats = decode_image(wav)
+            out["url"].append(f"pdf://{int(doc_id)}")
+            out["sample_rate"].append(rate)
+            out["channels"].append(ch)
+            out["f6_count"].append(int(round(feats[6] * len(data))))
+        yield pd.DataFrame(out)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _audio_batches,
+        schema="url string, sample_rate int, channels int,"
+               " f6_count long")
+
+
+SQL_AUDIO_FEATURES = """
+SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS url,
+       8000 AS sample_rate, 1 AS channels,
+       CAST(length(text) - length(regexp_replace(text, '[`a-o]', '',
+                                                 'g')) AS BIGINT)
+         AS f6_count
+FROM documents
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup CLUSTERS from the minhash-LSH pair graph: min-label
     propagation to a fixpoint (dedup.connected_components), the step
@@ -1372,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "multimodal_real_decode": q_multimodal_real_decode,
         "pdf_images": q_pdf_images,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1421,4 +1469,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
         "pdf_images": SQL_PDF_IMAGES,
+        "audio_features": SQL_AUDIO_FEATURES,
     }

@@ -169,16 +169,19 @@ def packbits_encode(data: bytes) -> bytes:
 
 def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
                 compression: str = "none", predictor: int = 1,
-                endian: str = "<", rows_per_strip: int | None = None) -> bytes:
-    """Baseline strip TIFF golden writer (8-bit gray/RGB/RGBA;
-    none/lzw/packbits; optional horizontal-differencing predictor)."""
+                endian: str = "<", rows_per_strip: int | None = None,
+                bits: int = 8) -> bytes:
+    """Baseline strip TIFF golden writer (8/16-bit gray/RGB/RGBA;
+    none/lzw/packbits; optional horizontal-differencing predictor -
+    8-bit only, matching the decoder's honest boundary).  16-bit
+    ``pixels`` are native-``endian`` two-byte samples."""
     from ..pdf.filters import lzw_encode
 
-    assert len(pixels) == width * height * spp
+    assert len(pixels) == width * height * spp * (bits // 8)
     e = endian
     if rows_per_strip is None:
         rows_per_strip = max(1, (height + 1) // 2)  # >= 2 strips usually
-    row_bytes = width * spp
+    row_bytes = width * spp * (bits // 8)
     strips = []
     for y0 in range(0, height, rows_per_strip):
         rows = pixels[y0 * row_bytes : (y0 + min(rows_per_strip,
@@ -203,7 +206,8 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
     def long_(v): return struct.pack(e + "I", v)
     entries.append((256, 4, 1, long_(width)))
     entries.append((257, 4, 1, long_(height)))
-    entries.append((258, 3, spp, b"".join(short(8) for _ in range(spp))))
+    entries.append((258, 3, spp, b"".join(short(bits)
+                                           for _ in range(spp))))
     entries.append((259, 3, 1, short(comp_code)))
     entries.append((262, 3, 1, short(1 if spp == 1 else 2)))
     # 273/279 filled after layout

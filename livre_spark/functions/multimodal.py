@@ -8,11 +8,11 @@ PNG unfilter), **JPEG** (functions/jpeg.py: baseline AND
 progressive/SOF2, Huffman + IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, restart
 markers), **GIF** (functions/gif.py:
 LSB-first LZW, interlace, first frame of animations), **PPM/PGM**
-(binary P6/P5), **BMP** (24-bit uncompressed), **TIFF** (strips,
+(binary P6/P5), **BMP** (24-bit uncompressed), **TIFF** (strips, 8/16-bit,
 none/LZW/PackBits, horizontal predictor, either endianness) and **WAV**
 audio (RIFF PCM 8/16-bit; the metadata slots carry sample rate /
 channels) in pure Python - no PIL/libvips in this container.
-Remaining formats (WebP; arithmetic JPEG; tiled/16-bit TIFF) raise
+Remaining formats (WebP; arithmetic JPEG; tiled TIFF) raise
 ``NotImplementedError``, contained into the ``error`` column like every
 other per-row failure - with ``image_dimensions`` still recovering
 header width/height for those rows.  ``fake=True`` keeps the
@@ -353,7 +353,11 @@ def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
     compression = one(259, 1)
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF")
-    if any(b != 8 for b in bits):
+    if all(b == 16 for b in bits):
+        sample_bytes = 2  # reduced to the high byte after assembly
+    elif all(b == 8 for b in bits):
+        sample_bytes = 1
+    else:
         raise NotImplementedError(f"TIFF bit depths {bits}")
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"TIFF {spp} samples/pixel")
@@ -371,7 +375,7 @@ def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ImageDecodeError("missing strip layout")
     rows_per_strip = one(278, height)
-    row_bytes = width * spp
+    row_bytes = width * spp * sample_bytes
     out = bytearray()
     for si, (soff, scnt) in enumerate(zip(offsets, counts)):
         raw = buf[soff : soff + scnt]
@@ -393,6 +397,11 @@ def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
             raise ImageDecodeError("short strip")
         strip = strip[: n_rows * row_bytes]
         if predictor == 2:
+            if sample_bytes != 1:
+                # the 8-bit TIFF differencing predictor is byte-wise;
+                # 16-bit differencing operates on 16-bit lanes - keep
+                # the honest boundary rather than corrupt silently
+                raise NotImplementedError("16-bit TIFF predictor")
             strip = apply_predictor(strip, 2, colors=spp, bpc=8,
                                     columns=width)
         elif predictor != 1:
@@ -400,6 +409,11 @@ def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
         out += strip
     if len(out) != height * row_bytes:
         raise ImageDecodeError("pixel buffer size mismatch")
+    if sample_bytes == 2:
+        # 16-bit samples reduce to the high byte, endian-aware
+        endian = "<" if buf[:2] == b"II" else ">"
+        a16 = np.frombuffer(bytes(out), dtype=endian + "u2")
+        out = (a16 >> 8).astype(np.uint8).tobytes()
     if photometric == 0:  # WhiteIsZero: invert to the common convention
         out = (255 - np.frombuffer(bytes(out), np.uint8)).tobytes()
     # RGBA keeps its alpha channel in the sample stream, like PNG

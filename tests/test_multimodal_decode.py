@@ -679,3 +679,18 @@ def test_png_sub_byte_palette(depth):
     rgb = b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
     assert (gw, gh) == (w, h)
     assert feats == _expected_features(rgb)
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+def test_tiff_16bit_high_byte(endian):
+    import struct as _s
+    from livre_spark.functions.genimg import encode_tiff
+    w, h = 7, 5
+    high = _gradient(w * h * 3)
+    px16 = b"".join(_s.pack(endian + "H", (hb << 8) | ((hb * 7) & 0xFF))
+                    for hb in high)
+    buf = encode_tiff(w, h, px16, spp=3, compression="lzw",
+                      endian=endian, bits=16)
+    gw, gh, feats = decode_image(buf)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(high)

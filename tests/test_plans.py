@@ -46,7 +46,7 @@ def test_no_python_row_udfs_in_relational_queries(spark):
         assert "BatchEvalPython" not in plan, name
         if name not in ("extract_roundtrip", "multimodal_features",
                         "multimodal_real_decode", "doc_info_crypt",
-                        "pdf_images"):
+                        "pdf_images", "audio_features"):
             assert "MapInPandas" not in plan, name
 
 
