@@ -327,7 +327,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, a_col: str = "id_a",
                          b_col: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Union near-dup PAIRS into duplicate CLUSTERS: (node, component)
     where component = the minimum id reachable through the pair graph -
     the canonical-document label a training-data dedup keeps.
@@ -343,18 +344,36 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
       shuffle shape as the LSH pair-join that produced the edges, and
       edges are BOUNDED by the upstream bucket caps (max_bucket /
       max_df), so no round can blow up past the pair stage that fed it;
-    - ``localCheckpoint`` after each round truncates the lineage - an
+    - a checkpoint after each round truncates the lineage - an
       iterative join would otherwise re-execute every previous round on
       each action (exponential plan growth is THE classic iterative-
       Spark failure);
     - the convergence probe is a count on the changed-label frame - one
       small action per round, not a collect of labels.
+
+    Durability: the default ``localCheckpoint`` stores round state in
+    EXECUTOR block storage - fast and zero-config, but losing any
+    executor mid-iteration loses blocks that lineage can no longer
+    recompute (it was truncated), failing the job.  Fine on a single
+    box; on a real cluster pass ``checkpoint_dir`` (an HDFS/S3/shared
+    path) to use reliable ``.checkpoint()`` instead: each round is
+    persisted to the shared filesystem and survives executor loss at
+    the cost of a write per round.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col(a_col).cast("long").alias("src"),
                          F.col(b_col).cast("long").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.distinct().localCheckpoint(eager=True)
+    edges = _ckpt(edges.distinct())
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node")))
     for _ in range(max_iter):
@@ -365,8 +384,8 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                               F.least(F.col("component"),
                                       F.coalesce("nbr_min",
                                                  F.col("component")))
-                              .alias("component"))
-                      .localCheckpoint(eager=True))
+                              .alias("component")))
+        new_labels = _ckpt(new_labels)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.component") != F.col("o.component"))

@@ -465,13 +465,17 @@ def _decode_wav(buf: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_image(buf: bytes, fake: bool = False):
-    """Decode an image to (width, height, feature vector).
+    """Decode an image/audio payload to (width, height, feature vector).
 
-    Magic-byte dispatch: PNG / PPM-PGM / BMP decode for real (pure
-    stdlib); other formats raise ``NotImplementedError`` (JPEG et al.
-    need a codec library this container lacks).  ``fake=True`` keeps the
-    deterministic raw-byte-histogram path - the DuckDB-mirrorable oracle
-    contract - with dimensions derived from the payload length.
+    Magic-byte dispatch, all pure-Python decoders in this repo: PNG
+    (all filters/depths/Adam7), JPEG (baseline + progressive +
+    CMYK/YCCK, functions/jpeg.py), GIF (incl. animated compositing,
+    functions/gif.py), TIFF (strips + tiles, LZW/flate/packbits), WAV
+    (PCM; width/height carry rate/channels), PPM/PGM, BMP24.  Formats
+    with no decoder here (WebP, JPEG 2000, ...) raise
+    ``NotImplementedError``.  ``fake=True`` keeps the deterministic
+    raw-byte-histogram path - the DuckDB-mirrorable oracle contract -
+    with dimensions derived from the payload length.
     """
     if fake:
         hist = np.bincount(np.frombuffer(buf, dtype=np.uint8) >> 4,
@@ -502,9 +506,9 @@ def decode_image(buf: bytes, fake: bool = False):
         w, h, samples = _decode_bmp(buf)
     else:
         raise NotImplementedError(
-            "unrecognized image format (PNG/JPEG/GIF/TIFF/PPM/PGM/"
-            "BMP decode in pure Python; WebP/TIFF etc. need a codec "
-            "library not in this container)")
+            "unrecognized image format (PNG/JPEG/GIF/TIFF/WAV/PPM/PGM/"
+            "BMP decode in pure Python here; WebP/JPX etc. need a "
+            "codec library not in this container)")
     return w, h, _pixel_features(samples)
 
 
@@ -531,8 +535,34 @@ def image_dimensions(buf: bytes) -> tuple[int, int] | None:
         if buf[:2] == b"BM" and len(buf) >= 26:
             w, h = struct.unpack_from("<ii", buf, 18)
             return int(w), abs(int(h))
+        if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+            return _webp_dimensions(buf)
     except Exception:
         return None
+    return None
+
+
+def _webp_dimensions(buf: bytes) -> tuple[int, int] | None:
+    """WebP canvas dims from the first chunk header - full decode is
+    unsupported (VP8 entropy coding), but dims are a 30-byte read.
+
+    Three container layouts: ``VP8X`` (extended) carries 24-bit
+    canvas-minus-one fields; ``VP8 `` (lossy) a keyframe header with
+    14-bit dims after the 0x9D012A start code; ``VP8L`` (lossless) two
+    packed 14-bit minus-one fields after the 0x2F signature byte."""
+    cid, size = buf[12:16], struct.unpack_from("<I", buf, 16)[0]
+    p = buf[20:20 + size]
+    if cid == b"VP8X" and len(p) >= 10:
+        w = int.from_bytes(p[4:7], "little") + 1
+        h = int.from_bytes(p[7:10], "little") + 1
+        return w, h
+    if cid == b"VP8 " and len(p) >= 10 and p[3:6] == b"\x9d\x01\x2a":
+        w = struct.unpack_from("<H", p, 6)[0] & 0x3FFF
+        h = struct.unpack_from("<H", p, 8)[0] & 0x3FFF
+        return w, h
+    if cid == b"VP8L" and len(p) >= 5 and p[0] == 0x2F:
+        bits = int.from_bytes(p[1:5], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
     return None
 
 

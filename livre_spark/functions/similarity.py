@@ -62,20 +62,98 @@ def topk_cosine_many(embeddings: DataFrame, queries: DataFrame,
                      k: int = 10, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      qid_col: str = "qid",
-                     qvec_col: str = "qv") -> DataFrame:
+                     qvec_col: str = "qv",
+                     ivf_path: str | None = None,
+                     centroids: list[list[float]] | None = None,
+                     n_probe: int = 2,
+                     route_threshold: int = 64) -> DataFrame:
     """Batch ANN: top-k per query vector, many queries in ONE scan.
 
     Plan shape: scan -> broadcast nested-loop join against the (small)
     query set - an O(n*Q) scoring map, not a shuffle - then one window
     shuffle of the NARROW (qid, id, cos) projection for the per-query
-    top-k.  Scale note: the window moves n*Q 24-byte rows; for large Q
-    or 100 TB inputs route each query through the materialized IVF index
-    instead (partition-pruned per query, topk_cosine_ivf_indexed).
+    top-k.  The window moves n*Q 24-byte rows, so the exact path stops
+    scaling with Q: when ``ivf_path``+``centroids`` are given AND the
+    query count exceeds ``route_threshold``, the call routes itself to
+    :func:`topk_cosine_many_ivf` (one partition-pruned scan of the
+    materialized index, each vector scored only against the queries
+    probing its cell - approximate, recall set by ``n_probe``).
+    Without an index the exact path is used regardless of Q.
     """
     from pyspark.sql.window import Window
 
+    if ivf_path is not None and centroids is not None:
+        # queries are broadcast-small by contract; counting them is a
+        # tiny local action, not a table scan
+        if queries.count() > route_threshold:
+            return topk_cosine_many_ivf(
+                embeddings.sparkSession, ivf_path, queries, centroids,
+                k=k, n_probe=n_probe, id_col=id_col, qid_col=qid_col,
+                qvec_col=qvec_col, vec_col=vec_col)
     scored = (embeddings
               .crossJoin(F.broadcast(queries))
+              .select(F.col(qid_col),
+                      F.col(id_col),
+                      F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, "cos_sim",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def topk_cosine_many_ivf(spark, path: str, queries: DataFrame,
+                         centroids: list[list[float]], k: int = 10,
+                         n_probe: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         qid_col: str = "qid",
+                         qvec_col: str = "qv") -> DataFrame:
+    """Batch IVF search: many queries against a materialized index
+    (:func:`ivf_build_index`) in ONE partition-pruned scan.
+
+    Probed cells are computed driver-side per query (centroids are
+    tiny), giving a (qid, qv, cell) probe map exploded over each
+    query's ``n_probe`` cells.  The scan filters ``cell IN <union of
+    all probed cells>`` (a partition filter - unprobed cells' files are
+    never read), broadcast-joins the probe map ON cell so each vector
+    is scored only against the queries probing its cell (work is
+    sum-of-bucket-sizes, not n*Q), then one narrow window shuffle ranks
+    per query.  With ``n_probe == len(centroids)`` results equal the
+    exact path.  Output schema matches :func:`topk_cosine_many`.
+    """
+    from pyspark.sql.window import Window
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    qrows = queries.select(qid_col, qvec_col).collect()
+    probe_rows = []
+    for row in qrows:
+        qv = [float(x) for x in row[qvec_col]]
+        # same sequential-fold distance as the single-query IVF path
+        # (bit-stable vs the Spark/DuckDB folds)
+        dists = []
+        for c in centroids:
+            d = 0.0
+            for x, y in zip(qv, c):
+                d += (x - float(y)) * (x - float(y))
+            dists.append(d)
+        probed = sorted(range(len(centroids)),
+                        key=lambda i: dists[i])[:n_probe]
+        for cell in probed:
+            probe_rows.append((row[qid_col], cell))
+    # qid keeps the CALLER's type; qv rides along from the queries df
+    # (broadcast x broadcast - both tiny) so its element type is
+    # untouched and scoring matches the exact path bit-for-bit
+    cells_df = spark.createDataFrame(probe_rows, StructType([
+        StructField(qid_col, queries.schema[qid_col].dataType),
+        StructField("cell", IntegerType())]))
+    probe_df = cells_df.join(queries.select(qid_col, qvec_col), qid_col)
+    all_cells = sorted({cell for _, cell in probe_rows})
+    scored = (spark.read.parquet(path)
+              .filter(F.col("cell").isin(all_cells))
+              .join(F.broadcast(probe_df), "cell")
               .select(F.col(qid_col),
                       F.col(id_col),
                       F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)

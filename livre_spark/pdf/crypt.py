@@ -570,10 +570,12 @@ def build_decryptor(buf: bytes, encrypt_pos: int, xrefs: dict,
         cfm = bytes(cfm) if cfm is not None else b"?"
         # spec permits the key length to live only inside /CF /StdCF for
         # V4 (bytes there, bits at top level; some writers put bits in
-        # both places - values <= 40 must be bytes)
+        # both places).  Disambiguation: 40 is the ONLY legal bits value
+        # at or below 40 (40-bit RC4), and 40 bytes (320 bits) is never
+        # valid - so 40 means bits; values <= 16 (128 bits) are bytes.
         cf_len = stdcf.get(b"Length") if isinstance(stdcf, dict) else None
         if isinstance(cf_len, int):
-            cf_length = cf_len * 8 if cf_len <= 40 else cf_len
+            cf_length = cf_len * 8 if cf_len <= 16 else cf_len
         else:
             cf_length = None
         if v == 5 and r == 6:

@@ -295,7 +295,12 @@ class Document:
         (JPX/CCITT/JBIG2 - payload returned undecoded).  Encrypted
         documents decrypt per object like every other stream.  Shared
         XObjects are reported once (first referencing page);
-        ``max_images`` bounds hostile fan-out."""
+        ``max_images`` bounds hostile fan-out.
+
+        ``page`` ordinals are best-effort on damaged documents: a page
+        node that fails to build is counted as one page (the common
+        case - leaves outnumber interior /Pages nodes), but a broken
+        INTERIOR node drops its whole subtree's pages from the count."""
         images: list[dict] = []
         seen_nodes: set = set()
         seen_xobjs: set = set()
@@ -308,6 +313,9 @@ class Document:
             try:
                 kids, xobjs = self.build(node_ref, _xobject_walk_parser)
             except (ParseError, CutError):
+                # assume the broken node was a leaf page so later pages
+                # keep their ordinals (best-effort; see docstring)
+                page_no[0] += 1
                 return
             if kids is None:
                 page_no[0] += 1

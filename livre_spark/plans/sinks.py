@@ -73,8 +73,14 @@ class ParquetSink:
 
     def read_or_none(self, spark: SparkSession,
                      table: str) -> DataFrame | None:
+        # mergeSchema: table schemas only ever grow additively (e.g. the
+        # round-4 ``info`` column on documents_text), so a directory
+        # appended to by old and new writers is mixed-schema parquet;
+        # without merging, which footer Spark samples decides whether
+        # new columns appear.  Merging pins the union deterministically.
         try:
-            return spark.read.parquet(self.location(table))
+            return (spark.read.option("mergeSchema", "true")
+                    .parquet(self.location(table)))
         except Exception:
             return None
 
@@ -101,15 +107,22 @@ class IcebergSink:
         for k, v in self.snapshot_props.items():
             # surfaces as snapshot summary metadata -> run_id lineage
             writer = writer.option(f"snapshot-property.{k}", str(v))
-        try:
+        # DataFrameWriterV2.append never creates the table; probe the
+        # catalog explicitly so a TABLE_OR_VIEW_NOT_FOUND raised for
+        # some OTHER relation in the plan (e.g. a joined view) cannot
+        # masquerade as "target missing" and trigger a spurious create
+        if self._table_exists(df.sparkSession, table):
             writer.append()
-        except Exception as exc:
-            # DataFrameWriterV2.append never creates the table; the
-            # first run against a fresh namespace bootstraps it here
-            if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc) and \
-                    "NoSuchTableException" not in type(exc).__name__:
-                raise
+        else:
             writer.create()
+
+    def _table_exists(self, spark: SparkSession, table: str) -> bool:
+        try:
+            return spark.catalog.tableExists(self.location(table))
+        except Exception:
+            # catalog not configured / transient - fall through to
+            # append and let its error surface with full context
+            return True
 
     def read_or_none(self, spark: SparkSession,
                      table: str) -> DataFrame | None:

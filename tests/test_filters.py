@@ -388,6 +388,28 @@ def test_build_decryptor_cf_length_fallback():
     assert dec.mode == "aesv2" and dec.file_key == key
 
 
+def test_build_decryptor_cf_length_40_means_bits():
+    """/CF /StdCF /Length 40 is AMBIGUOUS on its face, but 40 bytes
+    (320 bits) is never a valid key length while 40 bits (RC4) is - so
+    40 must be read as bits, yielding a 5-byte key."""
+    from livre_spark.pdf.crypt import (
+        build_decryptor, compute_file_key, compute_u,
+    )
+
+    id0 = b"\xde\xad\xbe\xef"
+    o = bytes(range(32))
+    key = compute_file_key(o, -44, id0, 4, 40)
+    assert len(key) == 5
+    u = compute_u(key, id0, 4)
+    enc = (b"<</Filter/Standard/V 4/R 4"
+           b"/CF<</StdCF<</CFM/V2/Length 40>>>>/StmF/StdCF"
+           b"/O <" + o.hex().encode() + b">"
+           b"/U <" + u.hex().encode() + b">"
+           b"/P -44>>")
+    dec = build_decryptor(enc, 0, {}, (id0,))
+    assert dec.mode == "rc4" and dec.file_key == key
+
+
 ENCRYPT_SCHEMES = ["rc4-40", "rc4-128", "rc4-128-owner", "aes-128",
                    "aes-256", "aes-256-owner"]
 

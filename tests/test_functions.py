@@ -269,6 +269,60 @@ def test_ivf_indexed_search_partition_pruned(spark, tmp_path):
     assert m and "cell" in m.group(1), m.group(0) if m else plan
 
 
+def test_topk_cosine_many_ivf_and_autoroute(spark, tmp_path):
+    """Batch IVF search: (a) with n_probe == n_cells it equals the
+    exact batch path per query; (b) the scan is partition-pruned; (c)
+    topk_cosine_many auto-routes to it when Q > route_threshold and an
+    index is supplied."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    cents = sim.ivf_centroids(emb, n_cells=4, iters=0)
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_build_index(emb, cents, path)
+
+    queries = (emb.filter("vec_id < 3")
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    exact = sim.topk_cosine_many(emb, queries, k=4)
+    ivf_all = sim.topk_cosine_many_ivf(spark, path, queries, cents,
+                                       k=4, n_probe=4)
+    key = ["qid", "rank"]
+    as_map = lambda df: {tuple(r[c] for c in key): (r["vec_id"],
+                                                    r["cos_sim"])
+                         for r in df.collect()}
+    assert as_map(ivf_all) == as_map(exact)
+
+    # n_probe < n_cells prunes partitions in the scan
+    ivf_pruned = sim.topk_cosine_many_ivf(spark, path, queries, cents,
+                                          k=4, n_probe=2)
+    plan = ivf_pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), m.group(0) if m else plan
+
+    # the auto-route: Q=3 > threshold=2 -> IVF plan (reads the index
+    # path, no crossJoin of the full table)
+    routed = sim.topk_cosine_many(emb, queries, k=4, ivf_path=path,
+                                  centroids=cents, n_probe=4,
+                                  route_threshold=2)
+    assert as_map(routed) == as_map(exact)
+    routed_plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" in routed_plan and "PartitionFilters" in routed_plan
+    # under the threshold the exact path is kept (no index read - the
+    # inputs are in-memory frames, so no FileScan at all)
+    unrouted = sim.topk_cosine_many(emb, queries, k=4, ivf_path=path,
+                                    centroids=cents, n_probe=4,
+                                    route_threshold=8)
+    assert "FileScan" not in unrouted._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert as_map(unrouted) == as_map(exact)
+
+
 def test_hash_fn_knob_xxhash64(spark, docs):
     """The production hash knob: xxhash64 variants run end-to-end and
     yield structurally-valid outputs (values differ from md5 by design)."""
@@ -305,3 +359,22 @@ def test_connected_components_chain_and_nonconvergence(spark):
     assert got[10] == got[11] == 10
     with _pytest.raises(ValueError, match="did not converge"):
         dd.connected_components(pairs, max_iter=2)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches per-round state to reliable
+    .checkpoint() (cluster-durable path): same labels, and round state
+    actually lands in the checkpoint directory."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(10, 11)],
+        "id_a long, id_b long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {r["node"]: r["component"]
+           for r in dd.connected_components(
+               pairs, checkpoint_dir=ckpt).collect()}
+    assert all(got[n] == 0 for n in range(6))
+    assert got[10] == got[11] == 10
+    import os
+    written = [os.path.join(dp, f)
+               for dp, _, fs in os.walk(ckpt) for f in fs]
+    assert written, "reliable checkpoint wrote nothing to checkpoint_dir"

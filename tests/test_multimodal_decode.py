@@ -694,3 +694,42 @@ def test_tiff_16bit_high_byte(endian):
     gw, gh, feats = decode_image(buf)
     assert (gw, gh) == (w, h)
     assert feats == _expected_features(high)
+
+
+def _webp_container(cid: bytes, payload: bytes) -> bytes:
+    chunk = cid + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def test_webp_dimensions_all_layouts():
+    """VP8X / VP8 (lossy keyframe) / VP8L header dims - full decode
+    stays unsupported, but dimensions must be recovered."""
+    from livre_spark.functions.multimodal import image_dimensions
+
+    # VP8X: flags(4) + 24-bit canvas-minus-one fields
+    p = b"\x00\x00\x00\x00" + (639).to_bytes(3, "little") + \
+        (479).to_bytes(3, "little")
+    assert image_dimensions(_webp_container(b"VP8X", p)) == (640, 480)
+    # VP8 lossy keyframe: 3-byte frame tag, 9D 01 2A start code,
+    # then 14-bit LE width/height (upper 2 bits = scaling)
+    p = b"\x00\x00\x00" + b"\x9d\x01\x2a" + \
+        (33 | 0x4000).to_bytes(2, "little") + (21).to_bytes(2, "little")
+    assert image_dimensions(_webp_container(b"VP8 ", p)) == (33, 21)
+    # VP8L: 0x2F signature then packed 14-bit minus-one fields
+    bits = (17 - 1) | ((11 - 1) << 14)
+    p = b"\x2f" + bits.to_bytes(4, "little")
+    assert image_dimensions(_webp_container(b"VP8L", p)) == (17, 11)
+    # truncated/garbage WebP -> None, never a raise
+    assert image_dimensions(b"RIFF\x08\x00\x00\x00WEBP") is None
+    assert image_dimensions(_webp_container(b"VP8 ", b"\x00" * 10)) is None
+
+
+def test_webp_decode_image_not_implemented():
+    import pytest as _pytest
+    from livre_spark.functions.multimodal import decode_image
+
+    buf = _webp_container(b"VP8L", b"\x2f\x00\x00\x00\x00")
+    with _pytest.raises(NotImplementedError):
+        decode_image(buf)

@@ -242,3 +242,23 @@ def test_with_info_metadata_column(spark, tmp_path):
     # default: column exists, stays null
     got2 = {r["url"]: r for r in extract_documents(pages).collect()}
     assert all(got2[u]["info"] is None for u in got2)
+
+
+def test_parquet_sink_merges_mixed_schemas(spark, tmp_path):
+    """A table directory appended to by old (no info column) and new
+    writers is mixed-schema parquet; read_or_none must pin the UNION
+    deterministically instead of whichever footer Spark samples."""
+    from livre_spark.plans.sinks import ParquetSink
+
+    sink = ParquetSink(str(tmp_path))
+    loc = sink.location("documents_text")
+    spark.createDataFrame([("u1", "old")], "url string, text string") \
+        .write.mode("append").parquet(loc)
+    spark.createDataFrame(
+        [("u2", "new", {"Title": "t"})],
+        "url string, text string, info map<string,string>") \
+        .write.mode("append").parquet(loc)
+    got = sink.read_or_none(spark, "documents_text")
+    assert set(got.columns) == {"url", "text", "info"}
+    rows = {r["url"]: r["info"] for r in got.collect()}
+    assert rows["u1"] is None and rows["u2"] == {"Title": "t"}
