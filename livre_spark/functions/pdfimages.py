@@ -62,13 +62,28 @@ def extract_pdf_images(buf: bytes, max_images: int = 64) -> list[dict]:
                 if comps is None:
                     raise NotImplementedError(
                         f"color space {im.get('color_space')}")
-                if im.get("bpc") != 8:
+                if im.get("bpc") == 1 and comps == 1:
+                    # bilevel raster (CCITT fax path): rows packed MSB
+                    # first, byte-padded; expand to 0/255 gray samples
+                    import numpy as np
+
+                    w, h = im["width"] or 0, im["height"] or 0
+                    stride = (w + 7) >> 3
+                    if len(data) != stride * h:
+                        raise ValueError("raster size mismatch")
+                    bits = np.unpackbits(
+                        np.frombuffer(data, dtype=np.uint8)
+                        .reshape(h, stride), axis=1)[:, :w]
+                    samples = (bits * 255).astype(np.uint8).tobytes()
+                elif im.get("bpc") != 8:
                     raise NotImplementedError(f"BitsPerComponent "
                                               f"{im.get('bpc')}")
-                expected = (im["width"] or 0) * (im["height"] or 0) * comps
-                if len(data) != expected:
-                    raise ValueError("raster size mismatch")
-                samples = data
+                else:
+                    expected = ((im["width"] or 0) * (im["height"] or 0)
+                                * comps)
+                    if len(data) != expected:
+                        raise ValueError("raster size mismatch")
+                    samples = data
             else:
                 raise NotImplementedError(im["kind"])
             row["features"] = _pixel_features(samples)

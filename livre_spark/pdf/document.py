@@ -563,6 +563,28 @@ def _image_stream_parser(doc: Document, buf: bytes, pos: int):
         out["kind"] = "jpeg"
         out["data"] = decode_chain(
             names[:-1], payload, parms[:-1] if parms else None)
+    elif names and names[-1] in (b"CCITTFaxDecode", b"CCF"):
+        from .ccitt import decode_ccitt
+        from .filters import decode_chain
+
+        parm = (parms[-1] if parms and len(parms) == len(names)
+                else None) or {}
+        try:
+            pre = decode_chain(names[:-1], payload,
+                               parms[:-1] if parms else None)
+            # /Rows absent -> the image's own height bounds the decode
+            out["kind"] = "raster"
+            out["data"] = decode_ccitt(
+                pre,
+                columns=int(parm.get(b"Columns", 1728)),
+                rows=int(parm.get(b"Rows", out.get("height") or 0)),
+                k=int(parm.get(b"K", 0)),
+                byte_align=bool(parm.get(b"EncodedByteAlign", False)),
+                black_is_1=bool(parm.get(b"BlackIs1", False)))
+        except (ParseError, CutError, ValueError, TypeError):
+            # containment: undecodable fax payload stays codec-tagged
+            out["kind"] = f"codec:{names[-1].decode('latin-1')}"
+            out["data"] = payload
     elif any(n in _IMAGE_CODECS for n in names):
         codec = next(n for n in names if n in _IMAGE_CODECS)
         out["kind"] = f"codec:{codec.decode('latin-1')}"

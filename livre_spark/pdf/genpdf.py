@@ -398,6 +398,27 @@ def build_pdf(page_contents: list[bytes | None], *,
                 xid = b.add(b"<</Length " + str(len(payload)).encode()
                             + extra + b">>stream\n" + payload
                             + b"\nendstream")
+            elif "ccitt" in im:
+                # scanned-page fixture: 1-bpp G3/G4 fax payload
+                # (encode_ccitt twin), /DecodeParms spelled inline
+                payload = im["ccitt"]
+                parm_items = b""
+                for k, v in (im.get("parms") or {}).items():
+                    if isinstance(v, bool):
+                        vs = b"true" if v else b"false"
+                    else:
+                        vs = str(v).encode()
+                    parm_items += b"/" + k.encode() + b" " + vs
+                extra = (b"/Subtype/Image/Width " + str(im["width"]).encode()
+                         + b"/Height " + str(im["height"]).encode()
+                         + b"/BitsPerComponent 1/ColorSpace/DeviceGray"
+                         + b"/Filter/CCITTFaxDecode"
+                         + b"/DecodeParms<<" + parm_items + b">>")
+                if b.encryptor is not None:
+                    payload = b.encryptor(b._next, payload)
+                xid = b.add(b"<</Length " + str(len(payload)).encode()
+                            + extra + b">>stream\n" + payload
+                            + b"\nendstream")
             else:
                 extra = (b"/Subtype/Image/Width " + str(im["width"]).encode()
                          + b"/Height " + str(im["height"]).encode()

@@ -134,3 +134,38 @@ def test_pdf_image_extraction_byte_flips_contained(data):
             assert (r["features"] is None) == (r["error"] is not None)
     except (ParseError, CutError, ValueError, NotImplementedError):
         pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256),
+       st.sampled_from([-1, 0, 1, 4]),
+       st.integers(1, 80))
+def test_ccitt_decode_random_bytes_contained(data, k, columns):
+    """decode_ccitt on arbitrary bits: decodes or raises ParseError -
+    never crashes, never loops (the zero-fill break and the rows bound
+    guard both exits)."""
+    from livre_spark.pdf.ccitt import decode_ccitt
+    from livre_spark.pdf.errors import ParseError
+    try:
+        out = decode_ccitt(data, columns=columns, rows=0, k=k)
+        assert len(out) % ((columns + 7) // 8) == 0
+    except ParseError:
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_ccitt_byte_flips_contained(data):
+    """Single byte flips in a VALID fax stream stay contained."""
+    from livre_spark.pdf.ccitt import decode_ccitt, encode_ccitt
+    from livre_spark.pdf.errors import ParseError
+
+    img = bytes((i * 37 + 11) & 0xFF for i in range(9 * 5))
+    k = data.draw(st.sampled_from([-1, 0, 4]))
+    enc = bytearray(encode_ccitt(img, 72, 5, k=k))
+    pos = data.draw(st.integers(0, len(enc) - 1))
+    enc[pos] ^= data.draw(st.integers(1, 255))
+    try:
+        decode_ccitt(bytes(enc), columns=72, rows=5, k=k)
+    except ParseError:
+        pass
