@@ -170,36 +170,94 @@ def packbits_encode(data: bytes) -> bytes:
 def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
                 compression: str = "none", predictor: int = 1,
                 endian: str = "<", rows_per_strip: int | None = None,
-                bits: int = 8) -> bytes:
-    """Baseline strip TIFF golden writer (8/16-bit gray/RGB/RGBA;
+                bits: int = 8,
+                tile: tuple[int, int] | None = None) -> bytes:
+    """Strip or tiled TIFF golden writer (8/16-bit gray/RGB/RGBA;
     none/lzw/packbits; optional horizontal-differencing predictor -
     8-bit only, matching the decoder's honest boundary).  16-bit
-    ``pixels`` are native-``endian`` two-byte samples."""
+    ``pixels`` are native-``endian`` two-byte samples.  ``tile=(tw,
+    th)`` writes tags 322-325 instead of the strip layout, edge tiles
+    zero-padded to full size per the TIFF 6.0 spec."""
     from ..pdf.filters import lzw_encode
 
-    assert len(pixels) == width * height * spp * (bits // 8)
+    fax = compression in ("ccitt-mh", "ccitt-g3", "ccitt-g3-2d",
+                          "ccitt-g4")
+    if fax:
+        # bilevel fax: ``pixels`` are packed 1-bpp rows (MSB first,
+        # byte-padded, 1 = white), spp forced to 1
+        spp, bits = 1, 1
+        assert tile is None, "tiled fax TIFF not supported"
+        assert predictor == 1
+        assert len(pixels) == ((width + 7) >> 3) * height
+    else:
+        assert len(pixels) == width * height * spp * (bits // 8)
     e = endian
     if rows_per_strip is None:
         rows_per_strip = max(1, (height + 1) // 2)  # >= 2 strips usually
-    row_bytes = width * spp * (bits // 8)
-    strips = []
-    for y0 in range(0, height, rows_per_strip):
-        rows = pixels[y0 * row_bytes : (y0 + min(rows_per_strip,
-                                                 height - y0)) * row_bytes]
-        if predictor == 2:
-            enc = bytearray(rows)
-            for r in range(0, len(enc), row_bytes):
-                for i in range(row_bytes - 1, spp - 1, -1):
-                    enc[r + i] = (enc[r + i] - enc[r + i - spp]) & 0xFF
-            rows = bytes(enc)
+    sb = bits // 8
+    row_bytes = width * spp * sb
+
+    def _diff_rows(data: bytes, rb: int) -> bytes:
+        enc = bytearray(data)
+        for r in range(0, len(enc), rb):
+            for i in range(rb - 1, spp - 1, -1):
+                enc[r + i] = (enc[r + i] - enc[r + i - spp]) & 0xFF
+        return bytes(enc)
+
+    def _compress(data: bytes) -> bytes:
         if compression == "lzw":
-            rows = lzw_encode(rows)
-        elif compression == "packbits":
-            rows = packbits_encode(rows)
-        elif compression != "none":
+            return lzw_encode(data)
+        if compression == "packbits":
+            return packbits_encode(data)
+        if compression != "none":
             raise ValueError(compression)
-        strips.append(rows)
-    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+        return data
+
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        tile_rb = tw * spp * sb
+        for ty in range(0, height, th):
+            for tx in range(0, width, tw):
+                block = bytearray()
+                seg = min(tx + tw, width) * spp * sb - tx * spp * sb
+                for r in range(th):
+                    y = ty + r
+                    row = (pixels[y * row_bytes + tx * spp * sb :
+                                  y * row_bytes + tx * spp * sb + seg]
+                           if y < height else b"")
+                    block += row + b"\x00" * (tile_rb - len(row))
+                data = bytes(block)
+                if predictor == 2:
+                    data = _diff_rows(data, tile_rb)
+                strips.append(_compress(data))
+    elif fax:
+        from ..pdf.ccitt import encode_ccitt
+
+        stride = (width + 7) >> 3
+        fax_k = {"ccitt-mh": 0, "ccitt-g3": 0, "ccitt-g3-2d": 4,
+                 "ccitt-g4": -1}[compression]
+        for y0 in range(0, height, rows_per_strip):
+            n = min(rows_per_strip, height - y0)
+            rows = pixels[y0 * stride : (y0 + n) * stride]
+            strips.append(encode_ccitt(
+                rows, width, n, k=fax_k,
+                # TIFF 6.0: MH rows each begin on a byte boundary;
+                # G3 writes EOL-prefixed lines; G4 is bare 2-D
+                byte_align=(compression == "ccitt-mh"),
+                end_of_line=(compression == "ccitt-g3"),
+                end_of_block=False))
+    else:
+        for y0 in range(0, height, rows_per_strip):
+            rows = pixels[y0 * row_bytes :
+                          (y0 + min(rows_per_strip,
+                                    height - y0)) * row_bytes]
+            if predictor == 2:
+                rows = _diff_rows(rows, row_bytes)
+            strips.append(_compress(rows))
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773,
+                 "ccitt-mh": 2, "ccitt-g3": 3, "ccitt-g3-2d": 3,
+                 "ccitt-g4": 4}[compression]
 
     entries = []  # (tag, type, count, value_bytes)
     def short(v): return struct.pack(e + "H", v)
@@ -209,14 +267,27 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
     entries.append((258, 3, spp, b"".join(short(bits)
                                            for _ in range(spp))))
     entries.append((259, 3, 1, short(comp_code)))
-    entries.append((262, 3, 1, short(1 if spp == 1 else 2)))
-    # 273/279 filled after layout
-    entries.append((273, 4, len(strips), None))
+    entries.append((262, 3, 1, short(0 if fax
+                                     else (1 if spp == 1 else 2))))
     entries.append((277, 3, 1, short(spp)))
-    entries.append((278, 4, 1, long_(rows_per_strip)))
-    entries.append((279, 4, len(strips), None))
+    if comp_code == 3:
+        entries.append((292, 4, 1, long_(
+            1 if compression == "ccitt-g3-2d" else 0)))
+    elif comp_code == 4:
+        entries.append((293, 4, 1, long_(0)))
+    if tile is not None:
+        entries.append((322, 4, 1, long_(tile[0])))
+        entries.append((323, 4, 1, long_(tile[1])))
+        entries.append((324, 4, len(strips), None))
+        entries.append((325, 4, len(strips), None))
+    else:
+        # 273/279 filled after layout
+        entries.append((273, 4, len(strips), None))
+        entries.append((278, 4, 1, long_(rows_per_strip)))
+        entries.append((279, 4, len(strips), None))
     if predictor == 2:
         entries.append((317, 3, 1, short(predictor)))
+    entries.sort(key=lambda t: t[0])  # IFD entries must be tag-ordered
 
     header = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(
         e + "I", 8)
@@ -249,12 +320,12 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
     ifd = bytearray(struct.pack(e + "H", len(placed)))
     for tag, typ, count, val, voff in placed:
         ifd += struct.pack(e + "HHI", tag, typ, count)
-        if tag == 273:
+        if tag in (273, 324):
             if len(strips) == 1:
                 ifd += long_(offs[0])
             else:
                 ifd += long_(off_arr_pos)
-        elif tag == 279:
+        elif tag in (279, 325):
             if len(strips) == 1:
                 ifd += long_(len(strips[0]))
             else:

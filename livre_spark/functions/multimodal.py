@@ -329,14 +329,82 @@ def _tiff_tags(buf: bytes) -> dict[int, list[int]]:
     return tags
 
 
+def _tiff_decompress(raw: bytes, compression: int) -> bytes:
+    from ..pdf.filters import lzw_decode
+
+    if compression == 1:
+        return raw
+    if compression == 5:
+        try:
+            return lzw_decode(raw)
+        except Exception as exc:
+            raise ImageDecodeError(f"strip LZW: {exc}") from exc
+    if compression == 32773:
+        return _packbits_decode(raw)
+    raise NotImplementedError(f"TIFF compression {compression}")
+
+
+def _decode_tiff_fax(buf: bytes, tags: dict, one,
+                     compression: int) -> tuple[int, int, bytes]:
+    """Bilevel fax TIFF (the scanned-document norm): compression 2
+    (Modified Huffman, every row byte-aligned per TIFF 6.0), 3 (T.4 G3,
+    T4Options bit 0 = 2-D, bit 2 = byte-aligned EOLs) and 4 (T.6 G4,
+    reusing pdf/ccitt.py).  Strip layout; white decodes to 255."""
+    from ..pdf.ccitt import decode_ccitt
+    from ..pdf.errors import ParseError
+
+    width, height = one(256), one(257)
+    if one(277, 1) != 1 or any(b != 1 for b in tags.get(258, [1])):
+        raise NotImplementedError("fax TIFF must be 1-bit single-sample")
+    if one(262, 0) != 0:
+        # CCITT runs code white/black directly; photometric 0
+        # (min-is-white) is the only coherent pairing
+        raise NotImplementedError("fax TIFF photometric != 0")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled fax TIFF")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ImageDecodeError("missing strip layout")
+    rows_per_strip = one(278, height)
+    if compression == 2:
+        k, byte_align = 0, True
+    elif compression == 3:
+        t4 = one(292, 0)
+        k, byte_align = (4 if t4 & 1 else 0), bool(t4 & 4)
+    else:
+        k, byte_align = -1, bool(one(293, 0) & 4)
+    stride = (width + 7) >> 3
+    out = bytearray()
+    for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+        raw = buf[soff : soff + scnt]
+        if len(raw) != scnt:
+            raise ImageDecodeError("truncated strip")
+        n_rows = min(rows_per_strip, height - si * rows_per_strip)
+        try:
+            packed = decode_ccitt(raw, columns=width, rows=n_rows, k=k,
+                                  byte_align=byte_align)
+        except ParseError as exc:
+            raise ImageDecodeError(f"fax strip: {exc}") from exc
+        # decode_ccitt's white bit is 1 -> white sample 255
+        bits_arr = np.unpackbits(
+            np.frombuffer(packed, dtype=np.uint8)
+            .reshape(n_rows, stride), axis=1)[:, :width]
+        out += (bits_arr * 255).astype(np.uint8).tobytes()
+    if len(out) != height * width:
+        raise ImageDecodeError("pixel buffer size mismatch")
+    return width, height, bytes(out)
+
+
 def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
-    """Baseline TIFF: little/big-endian, first IFD, strip layout;
-    compression none(1) / LZW(5, the MSB-first variant shared with PDF
-    LZWDecode incl. its EarlyChange width rule) / PackBits(32773);
-    horizontal-differencing predictor 2 via the shared pdf.filters
-    predictor; 8-bit gray or RGB(A).  Tiles, 16-bit and exotic
-    photometrics stay honest NotImplementedError boundaries."""
-    from ..pdf.filters import apply_predictor, lzw_decode
+    """Baseline + tiled TIFF: little/big-endian, first IFD, strip
+    (273/279) or tile (322-325) layout; compression none(1) / LZW(5,
+    the MSB-first variant shared with PDF LZWDecode incl. its
+    EarlyChange width rule) / PackBits(32773); horizontal-differencing
+    predictor 2 via the shared pdf.filters predictor (per strip/tile
+    row); 8/16-bit gray or RGB(A).  Exotic photometrics and planar
+    layout stay honest NotImplementedError boundaries."""
+    from ..pdf.filters import apply_predictor
 
     tags = _tiff_tags(buf)
 
@@ -351,8 +419,8 @@ def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
     compression = one(259, 1)
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF")
+    if compression in (2, 3, 4):
+        return _decode_tiff_fax(buf, tags, one, compression)
     if all(b == 16 for b in bits):
         sample_bytes = 2  # reduced to the high byte after assembly
     elif all(b == 8 for b in bits):
@@ -370,43 +438,69 @@ def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
     if photometric not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photometric}")
     predictor = one(317, 1)
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ImageDecodeError("missing strip layout")
-    rows_per_strip = one(278, height)
+    if predictor == 2 and sample_bytes != 1:
+        # the 8-bit TIFF differencing predictor is byte-wise; 16-bit
+        # differencing operates on 16-bit lanes - keep the honest
+        # boundary rather than corrupt silently
+        raise NotImplementedError("16-bit TIFF predictor")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     row_bytes = width * spp * sample_bytes
-    out = bytearray()
-    for si, (soff, scnt) in enumerate(zip(offsets, counts)):
-        raw = buf[soff : soff + scnt]
-        if len(raw) != scnt:
-            raise ImageDecodeError("truncated strip")
-        if compression == 1:
-            strip = raw
-        elif compression == 5:
-            try:
-                strip = lzw_decode(raw)
-            except Exception as exc:
-                raise ImageDecodeError(f"strip LZW: {exc}") from exc
-        elif compression == 32773:
-            strip = _packbits_decode(raw)
-        else:
-            raise NotImplementedError(f"TIFF compression {compression}")
-        n_rows = min(rows_per_strip, height - si * rows_per_strip)
-        if len(strip) < n_rows * row_bytes:
-            raise ImageDecodeError("short strip")
-        strip = strip[: n_rows * row_bytes]
-        if predictor == 2:
-            if sample_bytes != 1:
-                # the 8-bit TIFF differencing predictor is byte-wise;
-                # 16-bit differencing operates on 16-bit lanes - keep
-                # the honest boundary rather than corrupt silently
-                raise NotImplementedError("16-bit TIFF predictor")
-            strip = apply_predictor(strip, 2, colors=spp, bpc=8,
-                                    columns=width)
-        elif predictor != 1:
-            raise NotImplementedError(f"TIFF predictor {predictor}")
-        out += strip
+    if 322 in tags or 323 in tags:
+        # tile layout (the modern writer default): fixed-size blocks
+        # left-to-right, top-to-bottom, edge tiles padded to full size
+        tile_w, tile_h = one(322), one(323)
+        if tile_w < 1 or tile_h < 1:
+            raise ImageDecodeError("bad tile size")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ImageDecodeError("missing tile layout")
+        across = (width + tile_w - 1) // tile_w
+        down = (height + tile_h - 1) // tile_h
+        if len(offsets) != across * down:
+            raise ImageDecodeError("tile count mismatch")
+        tile_row_bytes = tile_w * spp * sample_bytes
+        out = bytearray(height * row_bytes)
+        for ti, (toff, tcnt) in enumerate(zip(offsets, counts)):
+            raw = buf[toff : toff + tcnt]
+            if len(raw) != tcnt:
+                raise ImageDecodeError("truncated tile")
+            tile = _tiff_decompress(raw, compression)
+            if len(tile) < tile_h * tile_row_bytes:
+                raise ImageDecodeError("short tile")
+            tile = tile[: tile_h * tile_row_bytes]
+            if predictor == 2:
+                tile = apply_predictor(tile, 2, colors=spp, bpc=8,
+                                       columns=tile_w)
+            tx, ty = ti % across, ti // across
+            vis_bytes = (min(tile_w, width - tx * tile_w)
+                         * spp * sample_bytes)
+            x_byte = tx * tile_w * spp * sample_bytes
+            for r in range(min(tile_h, height - ty * tile_h)):
+                dst = (ty * tile_h + r) * row_bytes + x_byte
+                src = r * tile_row_bytes
+                out[dst : dst + vis_bytes] = tile[src : src + vis_bytes]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ImageDecodeError("missing strip layout")
+        rows_per_strip = one(278, height)
+        out = bytearray()
+        for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+            raw = buf[soff : soff + scnt]
+            if len(raw) != scnt:
+                raise ImageDecodeError("truncated strip")
+            strip = _tiff_decompress(raw, compression)
+            n_rows = min(rows_per_strip, height - si * rows_per_strip)
+            if len(strip) < n_rows * row_bytes:
+                raise ImageDecodeError("short strip")
+            strip = strip[: n_rows * row_bytes]
+            if predictor == 2:
+                strip = apply_predictor(strip, 2, colors=spp, bpc=8,
+                                        columns=width)
+            out += strip
     if len(out) != height * row_bytes:
         raise ImageDecodeError("pixel buffer size mismatch")
     if sample_bytes == 2:

@@ -94,6 +94,7 @@ def test_media_byte_flips_contained(data):
         encode_jpeg(9, 7, px), encode_jpeg_progressive(9, 7, px),
         encode_gif(9, 7, idx, palette),
         encode_tiff(9, 7, px, compression="lzw", predictor=2),
+        encode_tiff(9, 7, px, compression="packbits", tile=(4, 4)),
         encode_bmp(9, 7, px),
         encode_wav(8000, 1, [i * 100 - 3000 for i in range(60)]),
         b"P5\n9 7\n255\n" + gray,

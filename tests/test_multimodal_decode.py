@@ -5,7 +5,9 @@ width/height/features derive by construction."""
 import numpy as np
 import pytest
 
-from livre_spark.functions.genimg import encode_bmp, encode_png, encode_ppm
+from livre_spark.functions.genimg import (
+    encode_bmp, encode_png, encode_ppm, encode_tiff,
+)
 from livre_spark.functions.multimodal import (
     FEATURE_DIM, ImageDecodeError, decode_image,
 )
@@ -733,3 +735,82 @@ def test_webp_decode_image_not_implemented():
     buf = _webp_container(b"VP8L", b"\x2f\x00\x00\x00\x00")
     with _pytest.raises(NotImplementedError):
         decode_image(buf)
+
+
+@pytest.mark.parametrize("tile", [(16, 16), (8, 4), (5, 7)])
+@pytest.mark.parametrize("comp", ["none", "lzw", "packbits"])
+def test_tiff_tiled_golden(tile, comp):
+    """Tile layout (322-325): edge tiles padded, predictor applied per
+    tile row, every compression - equals the strip-layout pixels."""
+    w, h = 17, 13
+    for spp in (1, 3):
+        px = _gradient(w * h * spp)
+        for pred in (1, 2):
+            buf = encode_tiff(w, h, px, spp=spp, compression=comp,
+                              predictor=pred, tile=tile)
+            gw, gh, feats = decode_image(buf)
+            assert (gw, gh) == (w, h)
+            assert feats == _expected_features(px)
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+def test_tiff_tiled_16bit(endian):
+    import struct as _s
+    from livre_spark.functions.genimg import encode_tiff as _et
+    w, h = 10, 6
+    high = _gradient(w * h * 3)
+    px16 = b"".join(_s.pack(endian + "H", (hb << 8) | ((hb * 3) & 0xFF))
+                    for hb in high)
+    buf = _et(w, h, px16, spp=3, compression="lzw", endian=endian,
+              bits=16, tile=(4, 4))
+    gw, gh, feats = decode_image(buf)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(high)
+
+
+def test_tiff_tiled_containment():
+    """Tile-layout damage (bad counts, truncation) stays contained."""
+    from livre_spark.functions.genimg import encode_tiff as _et
+    buf = bytearray(_et(16, 16, _gradient(16 * 16 * 3), tile=(8, 8)))
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(bytes(buf[: len(buf) // 2]))
+
+
+@pytest.mark.parametrize("comp", ["ccitt-mh", "ccitt-g3", "ccitt-g3-2d",
+                                  "ccitt-g4"])
+@pytest.mark.parametrize("rps", [None, 5])
+def test_tiff_fax_compressions(comp, rps):
+    """Scanned-TIFF path: compressions 2/3/4 route through pdf/ccitt.py
+    (MH byte-aligned rows / G3 EOL lines incl. 2-D / G4), white -> 255,
+    multi-strip restart included."""
+    import random as _random
+
+    rng = _random.Random(13)
+    w, h = 41, 13
+    stride = (w + 7) >> 3
+    img = bytearray()
+    rowsbits = []
+    prev = [rng.randrange(2) for _ in range(w)]
+    for _ in range(h):
+        rowpx = [p if rng.random() < 0.85 else 1 - p for p in prev]
+        prev = rowpx
+        rowsbits.append(rowpx)
+        row = bytearray(stride)
+        for i, p in enumerate(rowpx):
+            if p:
+                row[i >> 3] |= 0x80 >> (i & 7)
+        img += row
+    buf = encode_tiff(w, h, bytes(img), compression=comp,
+                      rows_per_strip=rps)
+    gw, gh, feats = decode_image(buf)
+    expected = bytes(255 * p for r in rowsbits for p in r)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(expected)
+
+
+def test_tiff_fax_containment():
+    """Truncated fax payload -> contained ImageDecodeError (short rows
+    can't complete), and fax+tiles stays an honest boundary."""
+    buf = encode_tiff(16, 9, b"\xf0\x0f" * 9, compression="ccitt-g4")
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(buf[: len(buf) - 4])
