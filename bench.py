@@ -315,19 +315,23 @@ def run_extraction(cores: int,
     return result
 
 
-def run_headline_queries(spark, probe_core: int | None = None):
+def run_headline_queries(spark, probe_core: int | None = None,
+                         extra: dict | None = None):
     """Times each headline query twice; each attempt carries a
     CONCURRENT steal probe on the reserved core.  Returns (raw, norm):
     raw = best measured seconds (comparable to past rounds), norm = the
     same attempt deflated by probe/calibration where calibration is the
     best probe rate of the whole phase - the steady-state number host
-    steal can't inflate."""
+    steal can't inflate.  ``extra`` adds {name: fn(spark, sf_dir)}
+    diagnostics timed under the same probe regime (e.g. A/B twins of a
+    headline query)."""
     import __spark_entry__ as em
     from pyspark.sql.functions import count as F_count
 
     queries = em.queries()
+    queries = {**queries, **(extra or {})}
     attempts: dict[str, list[tuple[float, float]]] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + list(extra or ()):
         fn = queries[name]
         runs = []
         # best-of-2: the host-steal windows inflate single draws 3-4x
@@ -526,8 +530,23 @@ def main() -> None:
     spark = build_session(app_name="bench-gen", cores=CPUS - 1,
                           shuffle_partitions=CPUS * 2)
     corpus = ensure_corpus(spark, N_DOCS)
+
+    def _near_dup_cap_off(sp, sf_dir):
+        # A/B twin of sim_near_dup with the skew cap DISABLED, so the
+        # cap machinery's cost (groupBy + window + broadcast anti-join
+        # before the bucket self-join) is attributed to code, not host
+        # weather; sim_near_dup itself is the cap-ON measurement
+        import __spark_entry__ as em
+        from livre_spark.functions import similarity as qsim
+
+        return qsim.cosine_near_dup_pairs_lsh(
+            em._t(sp, sf_dir, "embeddings"), dim=64, threshold=0.45,
+            bands=em._ND_BANDS, planes_per_band=em._ND_PLANES_PER_BAND,
+            seed=42)
+
     timings, timings_norm = run_headline_queries(
-        spark, probe_core=query_probe_core)
+        spark, probe_core=query_probe_core,
+        extra={"sim_near_dup_cap_off": _near_dup_cap_off})
     spark.stop()
     os.sched_setaffinity(0, all_cpus)  # scaling children re-split
 
@@ -555,6 +574,7 @@ def main() -> None:
     lvl_n, lvl_4n = med["n"], med["4n"]
     rate_n, rate_4n = lvl_n["spark_rate"], lvl_4n["spark_rate"]
     hw_speedup = hardware_speedup(cores_n, cores_4n)
+    s_all_eff = [w["efficiency_vs_kernel"] for w in windows]
 
     result = {
         "metric": "docs/sec (PDF-to-text)",
@@ -604,7 +624,39 @@ def main() -> None:
         },
     }
     _write_baseline_md(result)
-    print(json.dumps(result))
+    # full detail for archaeology (windows, task stats, probe traces)
+    with open(os.path.join(REPO, "BENCH", "result_full.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    # the PRINTED line must stay small: the driver keeps only a ~2000
+    # char tail of stdout and json-parses it - round 4's full-detail
+    # line overflowed that and the artifact lost the parsed queries.
+    # Both query columns (raw + probe-normalized) ride here; windows
+    # and task detail live in BENCH/BASELINE.md + result_full.json.
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": timings,
+        "queries_normalized": timings_norm,
+        "sf": sf,
+        "scaling": {
+            "cores_n": cores_n,
+            "cores_4n": cores_4n,
+            "docs_per_sec_n": rate_n,
+            "docs_per_sec_4n": rate_4n,
+            "spark_fraction_of_pool_n": lvl_n["fraction"],
+            "spark_fraction_of_pool_4n": lvl_4n["fraction"],
+            "efficiency_raw": med["efficiency_raw"],
+            "efficiency_vs_kernel": med["efficiency_vs_kernel"],
+            "efficiency_all_windows": s_all_eff,
+            "detail": "BENCH/BASELINE.md",
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never overflow the driver's tail again
+        compact["queries_normalized"] = "see BENCH/BASELINE.md"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 def _write_baseline_md(result: dict) -> None:
@@ -696,7 +748,14 @@ steal cannot inflate; "raw" is directly comparable to earlier rounds:
 |---|---|---|
 """ + "\n".join(
         f"| {k} | {v} | {result['queries_normalized'].get(k, v)} |"
-        for k, v in result["queries"].items()) + "\n"
+        for k, v in result["queries"].items()) + """
+
+``sim_near_dup`` is the cap-ON measurement (the registered query, skew
+cap active); ``sim_near_dup_cap_off`` is its A/B twin with the cap
+disabled, so the cap machinery's cost (bucket-count groupBy + window +
+broadcast anti-join ahead of the self-join) is attributed to code
+rather than host weather.
+"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
