@@ -151,6 +151,16 @@ class _BitReader:
             out.append("1" if self.data[i >> 3] & (0x80 >> (i & 7)) else "0")
         return "".join(out)
 
+    def peek_int(self, n: int) -> int:
+        """Next ``n`` (<= 20) bits MSB-first as an int, zero-padded past
+        the end of data - the fast path for code-table lookups."""
+        byte0 = self.pos >> 3
+        chunk = self.data[byte0 : byte0 + 4]
+        if len(chunk) < 4:
+            chunk = chunk + b"\x00" * (4 - len(chunk))
+        word = int.from_bytes(chunk, "big")
+        return (word >> (32 - (self.pos & 7) - n)) & ((1 << n) - 1)
+
     def skip(self, n: int) -> None:
         self.pos += n
 
@@ -161,24 +171,40 @@ class _BitReader:
         return self.pos >= len(self.data) * 8
 
 
+def _build_lut(decode_table: dict) -> list:
+    """Flat 2^13-entry window lookup: 13-bit prefix -> (run, code_len).
+    One indexed load replaces the per-length prefix probing."""
+    lut: list = [None] * (1 << _MAX_CODE_LEN)
+    for code, run in decode_table.items():
+        ln = len(code)
+        base = int(code, 2) << (_MAX_CODE_LEN - ln)
+        for suffix in range(1 << (_MAX_CODE_LEN - ln)):
+            lut[base | suffix] = (run, ln)
+    return lut
+
+
+_WHITE_LUT = _build_lut(_WHITE_DECODE)
+_BLACK_LUT = _build_lut(_BLACK_DECODE)
+
+
 def _read_run(br: _BitReader, white: bool) -> int:
     """One complete run: zero or more make-ups + one terminating code."""
-    table = _WHITE_DECODE if white else _BLACK_DECODE
+    lut = _WHITE_LUT if white else _BLACK_LUT
+    nbits = len(br.data) * 8
     total = 0
     while True:
-        window = br.peek(_MAX_CODE_LEN)
-        for ln in range(2, min(_MAX_CODE_LEN, len(window)) + 1):
-            run = table.get(window[:ln])
-            if run is not None:
-                br.skip(ln)
-                total += run
-                if run < 64:  # terminating code ends the run
-                    return total
-                break
-        else:
+        if br.pos >= nbits:
+            raise ParseError("CCITTBadCode", br.pos, "run hits end of data")
+        hit = lut[br.peek_int(_MAX_CODE_LEN)]
+        if hit is None:
             raise ParseError("CCITTBadCode", br.pos,
                              f"no {'white' if white else 'black'} code at "
-                             f"bit {br.pos}: {window!r}")
+                             f"bit {br.pos}")
+        run, ln = hit
+        br.skip(ln)
+        total += run
+        if run < 64:  # terminating code ends the run
+            return total
 
 
 def _try_eol(br: _BitReader) -> bool:
@@ -193,9 +219,13 @@ def _try_eol(br: _BitReader) -> bool:
     return False
 
 
-def _find_b(ref: list[int], a0: int, color: int) -> tuple[int, int]:
-    """(b1, b2): first changing element on the reference line right of
-    a0 with colour opposite to a0's colour, and the next one after it.
+def _find_b(ref: list[int], a0: int, color: int,
+            hint: int = 0) -> tuple[int, int, int]:
+    """(b1, b2, i): first changing element on the reference line right
+    of a0 with colour opposite to a0's colour, the next one after it,
+    and its index (pass back as ``hint`` - a0 moves left by at most 2
+    between calls, so the hinted scan is amortized O(1) per row instead
+    of O(transitions) per call).
 
     ``ref`` holds the reference row's transition positions (position i
     means the pixel AT i differs from the pixel at i-1; colour left of
@@ -203,12 +233,14 @@ def _find_b(ref: list[int], a0: int, color: int) -> tuple[int, int]:
     Opposite-of-a0 means: if a0's colour is white, b1 is a white->black
     transition = EVEN index in ``ref``."""
     parity = 0 if color == 0 else 1
-    i = parity
+    i = hint + ((parity - hint) & 1)  # smallest index >= hint w/ parity
+    while i - 2 >= parity and (i - 2 >= len(ref) or ref[i - 2] > a0):
+        i -= 2
     while i < len(ref) and ref[i] <= a0:
         i += 2
     b1 = ref[i] if i < len(ref) else ref[-1]
     b2 = ref[i + 1] if i + 1 < len(ref) else ref[-1]
-    return b1, b2
+    return b1, b2, i
 
 
 def _decode_2d_row(br: _BitReader, ref: list[int],
@@ -217,21 +249,23 @@ def _decode_2d_row(br: _BitReader, ref: list[int],
     cur: list[int] = []
     a0 = -1
     color = 0  # 0 = white
+    hint = 0
+    nbits = len(br.data) * 8
     while a0 < columns:
-        b1, b2 = _find_b(ref, a0, color)
-        window = br.peek(7)
-        if not window:
+        b1, b2, hint = _find_b(ref, a0, color, hint)
+        if br.pos >= nbits:
             raise ParseError("CCITTTruncated", br.pos)
-        if window[0] == "1":  # V0
+        w = br.peek_int(7)  # zero-padded past end; checked above
+        if w & 0b1000000:  # V0 = '1'
             br.skip(1)
             a1 = b1
-        elif window.startswith("011"):
+        elif w >> 4 == 0b011:
             br.skip(3)
             a1 = b1 + 1
-        elif window.startswith("010"):
+        elif w >> 4 == 0b010:
             br.skip(3)
             a1 = b1 - 1
-        elif window.startswith("001"):  # horizontal
+        elif w >> 4 == 0b001:  # horizontal
             br.skip(3)
             start = max(a0, 0)
             r1 = _read_run(br, color == 0)
@@ -242,24 +276,24 @@ def _decode_2d_row(br: _BitReader, ref: list[int],
             cur.append(min(a2, columns))
             a0 = a2
             continue
-        elif window.startswith("0001"):  # pass
+        elif w >> 3 == 0b0001:  # pass
             br.skip(4)
             a0 = b2
             continue
-        elif window.startswith("000011"):
+        elif w >> 1 == 0b000011:
             br.skip(6)
             a1 = b1 + 2
-        elif window.startswith("000010"):
+        elif w >> 1 == 0b000010:
             br.skip(6)
             a1 = b1 - 2
-        elif window.startswith("0000011"):
+        elif w == 0b0000011:
             br.skip(7)
             a1 = b1 + 3
-        elif window.startswith("0000010"):
+        elif w == 0b0000010:
             br.skip(7)
             a1 = b1 - 3
         else:
-            raise ParseError("CCITTBadMode", br.pos, window)
+            raise ParseError("CCITTBadMode", br.pos, bin(w))
         cur.append(min(max(a1, 0), columns))
         a0 = a1
         color ^= 1
@@ -284,22 +318,20 @@ def _transitions_to_packed(trans: list[int], columns: int,
     """Transition positions -> one packed 1-bpp row (MSB first).
 
     PDF default (/BlackIs1 false): BLACK pixels are 0 bits, so a blank
-    white row is all 1s."""
-    row = bytearray((columns + 7) >> 3)
-    white_bit = not black_is_1
-    color_white = True
-    pos = 0
-    for t in trans + [columns]:
-        t = min(t, columns)
-        bit = white_bit if color_white else not white_bit
-        if bit:
-            for i in range(pos, t):
-                row[i >> 3] |= 0x80 >> (i & 7)
-        pos = t
-        color_white = not color_white
-        if pos >= columns:
+    white row is all 1s.  Vectorized: toggle marks at each transition,
+    prefix-xor to colours, packbits - no per-pixel Python."""
+    import numpy as np
+
+    toggles = np.zeros(columns + 1, dtype=np.uint8)
+    for t in trans:
+        if 0 <= t < columns:
+            toggles[t] ^= 1
+        elif t >= columns:
             break
-    return bytes(row)
+    is_black = np.bitwise_xor.accumulate(toggles[:columns])
+    bits = (is_black if black_is_1 else is_black ^ 1)
+    stride = (columns + 7) >> 3
+    return np.packbits(bits)[:stride].tobytes()
 
 
 def decode_ccitt(data: bytes, columns: int = 1728, rows: int = 0,
@@ -407,16 +439,13 @@ def _write_run(bw: _BitWriter, run: int, white: bool) -> None:
 
 
 def _row_transitions(row: bytes, columns: int, black_is_1: bool) -> list[int]:
-    white_bit = 0 if black_is_1 else 1
-    cur_white = True
-    trans = []
-    for i in range(columns):
-        bit = (row[i >> 3] >> (7 - (i & 7))) & 1
-        is_white = bit == white_bit
-        if is_white != cur_white:
-            trans.append(i)
-            cur_white = is_white
-    return trans
+    import numpy as np
+
+    bits = np.unpackbits(np.frombuffer(row, dtype=np.uint8))[:columns]
+    is_white = bits == (0 if black_is_1 else 1)
+    # changes vs the previous pixel, with an imaginary white pixel at -1
+    prev = np.concatenate(([True], is_white[:-1]))
+    return np.nonzero(is_white != prev)[0].tolist()
 
 
 def _encode_2d_row(bw: _BitWriter, cur: list[int], ref: list[int],
@@ -424,8 +453,9 @@ def _encode_2d_row(bw: _BitWriter, cur: list[int], ref: list[int],
     a0 = -1
     color = 0
     ci = 0
+    hint = 0
     while a0 < columns:
-        b1, b2 = _find_b(ref, a0, color)
+        b1, b2, hint = _find_b(ref, a0, color, hint)
         a1 = cur[ci] if ci < len(cur) else columns
         a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
         if b2 < a1:
