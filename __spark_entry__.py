@@ -850,6 +850,60 @@ def q_sim_topk_ivf_indexed(spark, sf_dir):
 SQL_SIM_TOPK_IVF_INDEXED = SQL_SIM_TOPK_IVF
 
 
+def q_sim_topk_many_ivf(spark, sf_dir):
+    """Batch ANN at scale: MANY queries against the materialized IVF
+    index in ONE partition-pruned scan (similarity.topk_cosine_many_ivf
+    - the route topk_cosine_many takes above its Q threshold).  Probe
+    map computed driver-side, broadcast-joined ON cell so each vector
+    scores only against the queries probing its cell; same seed
+    centroids and sequential-fold math as the single-query IVF rows."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = sim.ivf_centroids(emb, n_cells=4, iters=0)
+    queries = (emb.filter(F.col("vec_id") <= 2)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"livre_ivf_many_{tag}")
+    sim.ivf_build_index(emb.filter(F.col("vec_id") > 2), centroids, path)
+    return sim.topk_cosine_many_ivf(spark, path, queries, centroids,
+                                    k=5, n_probe=2)
+
+
+SQL_SIM_TOPK_MANY_IVF = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id <= 2),
+qprobe AS (
+  SELECT q.qid, c.cell, row_number() OVER (PARTITION BY q.qid
+    ORDER BY {_sq_dist_sql('q.qv', 'c.embedding')}, c.cell) AS rn
+  FROM cents c, q),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY {_sq_dist_sql('e.embedding', 'c.embedding')}, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id > 2),
+scored AS (
+  SELECT p.qid, e.vec_id,
+         round({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+  FROM assigned e
+  JOIN (SELECT qid, cell FROM qprobe WHERE rn <= 2) p ON e.cell = p.cell
+  JOIN q ON q.qid = p.qid
+  WHERE e.rn = 1)
+SELECT qid, vec_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): one user-keyed
     shuffle, two window passes, exact integer-microsecond gap math."""
@@ -1406,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
         "sim_topk_ivf_indexed": q_sim_topk_ivf_indexed,
+        "sim_topk_many_ivf": q_sim_topk_many_ivf,
         "sim_topk_many": q_sim_topk_many,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
@@ -1457,6 +1512,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_lsh": _lsh_oracle_sql(),
         "sim_topk_ivf": SQL_SIM_TOPK_IVF,
         "sim_topk_ivf_indexed": SQL_SIM_TOPK_IVF_INDEXED,
+        "sim_topk_many_ivf": SQL_SIM_TOPK_MANY_IVF,
         "sim_topk_many": SQL_SIM_TOPK_MANY,
         "sessionize": SQL_SESSIONIZE,
         "json_props": SQL_JSON_PROPS,
