@@ -198,3 +198,111 @@ def start_extraction_stream(spark: SparkSession, source_dir: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_sessionize(events_stream: DataFrame,
+                         gap_us: int | None = None,
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         value_col: str = "value",
+                         watermark: str = "0 seconds") -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization with
+    CLOSED-session emission - the streaming twin of
+    ``operators.sessions.session_stats``.
+
+    Batch sessionize is two window passes; a stream can't window over
+    the future, so per-user state carries the OPEN session (start/last
+    timestamps, count, integer value cents) across micro-batches:
+
+    - a gap exceeded *within* the arriving data closes a session
+      immediately (emitted in that micro-batch);
+    - the trailing open session registers an EVENT-TIME timeout at
+      ``last_ts + gap``; when the watermark passes it the state times
+      out and the session is emitted exactly once - late events inside
+      the watermark still extend the session, the standard
+      correctness trade late-data streaming makes.
+
+    Output schema matches ``session_stats`` (user, session_id,
+    n_events, start_us, end_us, value_cents) so results are directly
+    comparable for activity that doesn't straddle an eviction:
+    ``session_id`` is the per-user closed-session ordinal, reset if a
+    user goes idle past the watermark and returns (keeping it forever
+    would mean unbounded state - exactly what the timeout bounds).
+
+    Scale: one user-keyed shuffle per micro-batch (same key as the
+    batch twin); state size = open sessions, bounded by active users,
+    evicted by the timeout - RocksDB state store territory at crawl
+    scale, never heap-unbounded.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..operators.sessions import DEFAULT_GAP_US
+
+    gap = DEFAULT_GAP_US if gap_us is None else gap_us
+    in_user = next(f for f in events_stream.schema.fields
+                   if f.name == user_col)
+    out_schema = StructType([
+        StructField(user_col, in_user.dataType),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("value_cents", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("next_sid", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+    ])
+
+    def fn(key, pdfs, state):
+        def row(sid, s_us, e_us, n, cents):
+            return pd.DataFrame({
+                user_col: [key[0]], "session_id": [sid],
+                "n_events": [n], "start_us": [s_us], "end_us": [e_us],
+                "value_cents": [cents]})
+
+        if state.hasTimedOut:
+            sid, s_us, l_us, n, cents = state.get
+            state.remove()
+            yield row(sid, s_us, l_us, n, cents)
+            return
+        events = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            us = (pdf[ts_col].astype("int64"))  # ns since epoch
+            cents = (pdf[value_col] * 100).round(0).astype("int64")
+            events.extend(zip(us // 1000, cents))
+        if not events:
+            return
+        events.sort()
+        if state.exists:
+            sid, s_us, l_us, n, cents = state.get
+        else:
+            sid, s_us, l_us, n, cents = 0, None, None, 0, 0
+        for us, c in events:
+            if s_us is None:
+                s_us, l_us, n, cents = us, us, 1, int(c)
+            elif us - l_us > gap:
+                yield row(sid, s_us, l_us, n, cents)
+                sid += 1
+                s_us, l_us, n, cents = us, us, 1, int(c)
+            else:
+                l_us = max(l_us, us)
+                n += 1
+                cents += int(c)
+        state.update((sid, s_us, l_us, n, cents))
+        # close the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp((l_us + gap) // 1000)
+        return
+
+    return (events_stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))

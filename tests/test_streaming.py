@@ -136,3 +136,62 @@ def test_windowed_page_counts(spark, tmp_path):
     assert rows[0]["n_pages"] == 3
     assert rows[0]["n_urls"] == 2  # u1 deduped by approx distinct
     assert rows[1]["n_pages"] == 2
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Gap-timeout sessionization: in-batch gap closures emit
+    immediately, the trailing open session closes via EVENT-TIME
+    timeout when the watermark passes last+gap, and every closed
+    session matches the batch session_stats twin row-for-row."""
+    import datetime
+
+    from livre_spark.operators.sessions import session_stats
+    from livre_spark.streaming import streaming_sessionize
+
+    SCHEMA = ("user_id long, event_id long, ts timestamp, value double")
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ev(u, eid, minutes, v):
+        return (u, eid, t0 + datetime.timedelta(minutes=minutes), v)
+
+    # u1: session A (0, 10min), then >30min gap, session B (120min);
+    # u2: one session (5min); u9 late sentinels push the watermark
+    b1 = [ev(1, 0, 0, 1.25), ev(1, 1, 10, 2.50), ev(1, 2, 120, 4.00),
+          ev(2, 3, 5, 3.00)]
+    b2 = [ev(9, 4, 600, 0.50)]    # watermark -> 10:00 closes u1B + u2
+    b3 = [ev(9, 5, 1300, 0.25)]   # watermark -> closes u9's first
+
+    src = str(tmp_path / "events_drop")
+    os.makedirs(src)
+    import shutil
+    for name, rows in (("b1", b1), ("b2", b2), ("b3", b3)):
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(d, f),
+                            os.path.join(src, name + ".parquet"))
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (streaming_sessionize(stream)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("sessions_stream")
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout=180)
+
+    got = {(r["user_id"], r["session_id"]):
+           (r["n_events"], r["start_us"], r["end_us"], r["value_cents"])
+           for r in spark.sql("SELECT * FROM sessions_stream").collect()}
+    # u1 has both sessions closed, u2 its one, u9's first (the second
+    # stays open - no later watermark ever passes it)
+    batch = spark.createDataFrame(b1 + b2 + b3, SCHEMA)
+    want = {(r["user_id"], r["session_id"]):
+            (r["n_events"], r["start_us"], r["end_us"], r["value_cents"])
+            for r in session_stats(batch).collect()}
+    open_keys = {(9, 1)}  # u9's final session never times out
+    assert set(got) == set(want) - open_keys
+    for k in got:
+        assert got[k] == want[k], (k, got[k], want[k])
