@@ -564,9 +564,10 @@ def decode_image(buf: bytes, fake: bool = False):
     Magic-byte dispatch, all pure-Python decoders in this repo: PNG
     (all filters/depths/Adam7), JPEG (baseline + progressive +
     CMYK/YCCK, functions/jpeg.py), GIF (incl. animated compositing,
-    functions/gif.py), TIFF (strips + tiles, LZW/flate/packbits), WAV
+    functions/gif.py), TIFF (strips + tiles + CCITT fax,
+    LZW/flate/packbits), WebP lossless (VP8L, functions/webp.py), WAV
     (PCM; width/height carry rate/channels), PPM/PGM, BMP24.  Formats
-    with no decoder here (WebP, JPEG 2000, ...) raise
+    with no decoder here (lossy WebP, JPEG 2000, ...) raise
     ``NotImplementedError``.  ``fake=True`` keeps the deterministic
     raw-byte-histogram path - the DuckDB-mirrorable oracle contract -
     with dimensions derived from the payload length.
@@ -598,11 +599,16 @@ def decode_image(buf: bytes, fake: bool = False):
         w, h, samples = _decode_ppm(buf)
     elif buf[:2] == b"BM":
         w, h, samples = _decode_bmp(buf)
+    elif buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        # lossless (VP8L) decodes for real; lossy (VP8) raises
+        # NotImplementedError inside (boolean arithmetic decoder)
+        from .webp import decode_webp_lossless
+        w, h, samples = decode_webp_lossless(buf)
     else:
         raise NotImplementedError(
             "unrecognized image format (PNG/JPEG/GIF/TIFF/WAV/PPM/PGM/"
-            "BMP decode in pure Python here; WebP/JPX etc. need a "
-            "codec library not in this container)")
+            "BMP/WebP-lossless decode in pure Python here; lossy WebP/"
+            "JPX etc. need a codec library not in this container)")
     return w, h, _pixel_features(samples)
 
 

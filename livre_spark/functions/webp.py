@@ -1,0 +1,966 @@
+"""WebP lossless (VP8L) codec - pure Python, from the public spec.
+
+Beyond-reference extension (the reference never touches images): WebP
+is a top-3 crawl image format, and its lossless variant is fully
+decodable without a DCT stack: LSB-first bit stream, deflate-style
+canonical prefix codes (code bits read MSB-of-code first), LZ77
+backward references with a 2-D proximity distance map, an optional
+color cache, and four invertible transforms (predictor, cross-color,
+subtract-green, color-indexing with pixel bundling).
+
+``decode_webp_lossless`` handles the full decode surface: simple and
+code-length-coded prefix codes (incl. the max_symbol cap and 16/17/18
+repeats), meta-prefix groups, color cache, all 14 spatial predictors
+with their border rules, cross-color deltas, palette delta-coding and
+sub-byte index bundling.  VP8 (lossy) stays an honest
+NotImplementedError - it needs the boolean arithmetic decoder + loop
+filter, a different project.
+
+``encode_webp_lossless`` is the deterministic twin used to pin the
+decoder (the repo-wide pattern): optimal per-channel prefix codes
+written through the real code-length coding, optional subtract-green
+transform, optional left-run LZ77 references and color cache.  The
+twin only emits distance codes > 120 (raw distances); the 120-entry
+proximity map is exercised decoding-side and transcribed from the
+spec's ordering (squared distance, then |dx|, positive first).
+"""
+
+from __future__ import annotations
+
+import heapq
+import struct
+
+
+class WebpError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# bit I/O: LSB-first within each byte (deflate convention); prefix-code
+# bits are read most-significant-code-bit first
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        v = 0
+        p = self.pos
+        if p + n > self.nbits:
+            raise WebpError("VP8L bitstream truncated")
+        for i in range(n):
+            v |= ((self.data[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos = p + n
+        return v
+
+    def read_bit(self) -> int:
+        p = self.pos
+        if p >= self.nbits:
+            raise WebpError("VP8L bitstream truncated")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (p & 7)) & 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.n
+        self.n += n
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix-code bits go MSB first."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def tobytes(self) -> bytes:
+        out = bytes(self.buf)
+        if self.n:
+            out += bytes([self.acc & 0xFF])
+        return out
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes (deflate-style assignment)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """{symbol: (code, length)} - codes assigned per RFC1951: sorted by
+    (length, symbol), sequential within a length."""
+    pairs = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+    codes = {}
+    code = 0
+    prev_len = 0
+    for l, s in pairs:
+        code <<= (l - prev_len)
+        codes[s] = (code, l)
+        code += 1
+        prev_len = l
+    return codes
+
+
+class _Huffman:
+    """Decoder for one canonical prefix code."""
+
+    def __init__(self, lengths: list[int]):
+        nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if not nz:
+            raise WebpError("empty prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.table = None
+            return
+        self.single = None
+        self.table = {}
+        self.max_len = max(l for l, _ in nz)
+        for s, (code, l) in _canonical_codes(lengths).items():
+            self.table[(l, code)] = s
+
+    @classmethod
+    def fixed(cls, symbol: int) -> "_Huffman":
+        h = cls.__new__(cls)
+        h.single = symbol
+        h.table = None
+        return h
+
+    @classmethod
+    def pair(cls, s0: int, s1: int) -> "_Huffman":
+        h = cls.__new__(cls)
+        h.single = None
+        h.table = {(1, 0): s0, (1, 1): s1}
+        h.max_len = 1
+        return h
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for l in range(1, self.max_len + 1):
+            code = (code << 1) | br.read_bit()
+            sym = self.table.get((l, code))
+            if sym is not None:
+                return sym
+        raise WebpError("invalid prefix code in stream")
+
+
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+              14, 15]
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Huffman:
+    if br.read_bit():  # simple code: 1 or 2 symbols
+        n = br.read_bit() + 1
+        s0 = br.read(8) if br.read_bit() else br.read_bit()
+        if n == 1:
+            return _Huffman.fixed(s0)
+        s1 = br.read(8)
+        return _Huffman.pair(s0, s1)
+    num_clc = br.read(4) + 4
+    clc = [0] * 19
+    for i in range(num_clc):
+        clc[_CLC_ORDER[i]] = br.read(3)
+    clh = _Huffman(clc)
+    if br.read_bit():
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    sym = 0
+    prev = 8
+    while sym < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = clh.read(br)
+        if s < 16:
+            lengths[sym] = s
+            sym += 1
+            if s:
+                prev = s
+        else:
+            if s == 16:
+                repeat, fill = 3 + br.read(2), prev
+            elif s == 17:
+                repeat, fill = 3 + br.read(3), 0
+            else:
+                repeat, fill = 11 + br.read(7), 0
+            if sym + repeat > alphabet_size:
+                raise WebpError("code length repeat overflows alphabet")
+            for _ in range(repeat):
+                lengths[sym] = fill
+                sym += 1
+    return _Huffman(lengths)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 prefix values + 2-D distance map
+# ---------------------------------------------------------------------------
+
+
+def _prefix_value(br: _BitReader, code: int) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """value -> (prefix code, n extra bits, extra value)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    code = 4
+    while True:
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset + 1 <= v <= offset + (1 << extra):
+            return code, extra, v - 1 - offset
+        code += 1
+
+
+def _make_distance_map() -> list[tuple[int, int]]:
+    """The 120 near-pixel codes: window y in [0,7] (x in [1,8] on row
+    0, else x in [-7,8]) ordered by squared distance then |dx| with the
+    positive offset first - the spec's proximity ordering."""
+    cands = [(x, 0) for x in range(1, 9)]
+    cands += [(x, y) for y in range(1, 8) for x in range(-7, 9)]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]),
+                              p[0] < 0))
+    assert len(cands) == 120
+    return cands
+
+
+_DIST_MAP = _make_distance_map()
+
+
+def _plane_to_dist(code: int, width: int) -> int:
+    if code > 120:
+        return code - 120
+    x, y = _DIST_MAP[code - 1]
+    return max(1, y * width + x)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _div_round_up(a: int, b: int) -> int:
+    return (a + b - 1) // b
+
+
+_HASH_MUL = 0x1E35A7BD
+
+
+def _read_entropy_coded(br: _BitReader, w: int, h: int,
+                        top_level: bool) -> list[int]:
+    """One entropy-coded pixel plane -> list of ARGB uint32."""
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise WebpError(f"bad color cache bits {cache_bits}")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    meta = None
+    meta_w = hb = 0
+    n_groups = 1
+    if top_level and br.read_bit():
+        hb = br.read(3) + 2
+        meta_w = _div_round_up(w, 1 << hb)
+        meta_h = _div_round_up(h, 1 << hb)
+        meta = _read_entropy_coded(br, meta_w, meta_h, False)
+        n_groups = max((p >> 8) & 0xFFFF for p in meta) + 1
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _read_prefix_code(br, green_alpha),
+            _read_prefix_code(br, 256),   # red
+            _read_prefix_code(br, 256),   # blue
+            _read_prefix_code(br, 256),   # alpha
+            _read_prefix_code(br, 40),    # distance
+        ))
+    n = w * h
+    out: list[int] = []
+    group = groups[0]
+    last_meta_idx = -1
+    while len(out) < n:
+        pos = len(out)
+        if meta is not None:
+            x, y = pos % w, pos // w
+            mi = (y >> hb) * meta_w + (x >> hb)
+            if mi != last_meta_idx:
+                gi = (meta[mi] >> 8) & 0xFFFF
+                if gi >= n_groups:
+                    raise WebpError("meta group out of range")
+                group = groups[gi]
+                last_meta_idx = mi
+        g_code, r_code, b_code, a_code, d_code = group
+        s = g_code.read(br)
+        if s < 256:
+            red = r_code.read(br)
+            blue = b_code.read(br)
+            alpha = a_code.read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out.append(px)
+            if cache is not None:
+                cache[((_HASH_MUL * px) & 0xFFFFFFFF)
+                      >> (32 - cache_bits)] = px
+        elif s < 280:
+            length = _prefix_value(br, s - 256)
+            dist = _plane_to_dist(_prefix_value(br, d_code.read(br)), w)
+            if dist > len(out):
+                raise WebpError("backward reference before image start")
+            for _ in range(length):
+                px = out[-dist]
+                out.append(px)
+                if cache is not None:
+                    cache[((_HASH_MUL * px) & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = px
+                if len(out) >= n:
+                    break
+        else:
+            if cache is None:
+                raise WebpError("cache code without color cache")
+            idx = s - 280
+            if idx >= len(cache):
+                raise WebpError("cache index out of range")
+            out.append(cache[idx])
+    return out
+
+
+def _avg2(a: int, b: int) -> int:
+    return ((a >> 24) + (b >> 24) >> 1) << 24 | \
+           (((a >> 16) & 0xFF) + ((b >> 16) & 0xFF) >> 1) << 16 | \
+           (((a >> 8) & 0xFF) + ((b >> 8) & 0xFF) >> 1) << 8 | \
+           ((a & 0xFF) + (b & 0xFF) >> 1)
+
+
+def _clip255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _select(t: int, l: int, tl: int) -> int:
+    p_t = p_l = 0
+    for sh in (24, 16, 8, 0):
+        tc = (t >> sh) & 0xFF
+        lc = (l >> sh) & 0xFF
+        tlc = (tl >> sh) & 0xFF
+        p_t += abs(lc - tlc)   # |pred - t| per channel
+        p_l += abs(tc - tlc)   # |pred - l|
+    return t if p_t <= p_l else l
+
+
+def _casf(l: int, t: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        c = _clip255(((l >> sh) & 0xFF) + ((t >> sh) & 0xFF)
+                     - ((tl >> sh) & 0xFF))
+        out |= c << sh
+    return out
+
+
+def _cash(l: int, t: int, tl: int) -> int:
+    ave = _avg2(l, t)
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 0xFF
+        d = a - ((tl >> sh) & 0xFF)
+        # C integer division truncates toward zero
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out |= _clip255(a + half) << sh
+    return out
+
+
+def _predict(mode: int, l: int, t: int, tr: int, tl: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(t, l, tl)
+    if mode == 12:
+        return _casf(l, t, tl)
+    if mode == 13:
+        return _cash(l, t, tl)
+    raise WebpError(f"predictor mode {mode}")
+
+
+def _add_pixels(residual: int, pred: int) -> int:
+    return ((((residual >> 24) + (pred >> 24)) & 0xFF) << 24 |
+            ((((residual >> 16) & 0xFF) + ((pred >> 16) & 0xFF)) & 0xFF)
+            << 16 |
+            ((((residual >> 8) & 0xFF) + ((pred >> 8) & 0xFF)) & 0xFF)
+            << 8 |
+            (((residual & 0xFF) + (pred & 0xFF)) & 0xFF))
+
+
+def _inverse_predictor(px: list[int], w: int, h: int, size_bits: int,
+                       modes: list[int]) -> None:
+    bw = _div_round_up(w, 1 << size_bits)
+    for i in range(w * h):
+        x, y = i % w, i // w
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = px[i - 1]                     # forced L on row 0
+        elif x == 0:
+            pred = px[i - w]                     # forced T on col 0
+        else:
+            mode = (modes[(y >> size_bits) * bw + (x >> size_bits)]
+                    >> 8) & 0xFF
+            l = px[i - 1]
+            t = px[i - w]
+            # contiguous-array trick: at x == w-1 the top-right slot is
+            # the current row's first pixel (already decoded) - the
+            # spec's wrap rule falls out of flat addressing
+            tr = px[i - w + 1]
+            tl = px[i - w - 1]
+            pred = _predict(mode, l, t, tr, tl)
+        px[i] = _add_pixels(px[i], pred)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _inverse_color_transform(px: list[int], w: int, h: int,
+                             size_bits: int, cte: list[int]) -> None:
+    bw = _div_round_up(w, 1 << size_bits)
+    for i in range(w * h):
+        x, y = i % w, i // w
+        e = cte[(y >> size_bits) * bw + (x >> size_bits)]
+        g2r = e & 0xFF           # BLUE channel of the transform pixel
+        g2b = (e >> 8) & 0xFF    # GREEN channel
+        r2b = (e >> 16) & 0xFF   # RED channel
+        p = px[i]
+        green = (p >> 8) & 0xFF
+        red = ((p >> 16) & 0xFF) + _ct_delta(g2r, green) & 0xFF
+        blue = (p & 0xFF) + _ct_delta(g2b, green)
+        blue = (blue + _ct_delta(r2b, red)) & 0xFF
+        px[i] = (p & 0xFF000000) | (red << 16) | (green << 8) | blue
+
+
+def _inverse_subtract_green(px: list[int]) -> None:
+    for i, p in enumerate(px):
+        g = (p >> 8) & 0xFF
+        r = (((p >> 16) & 0xFF) + g) & 0xFF
+        b = ((p & 0xFF) + g) & 0xFF
+        px[i] = (p & 0xFF000000) | (r << 16) | ((p >> 8 & 0xFF) << 8) | b
+
+
+def _palette_xbits(n: int) -> int:
+    if n <= 2:
+        return 3
+    if n <= 4:
+        return 2
+    if n <= 16:
+        return 1
+    return 0
+
+
+def _inverse_palette(px: list[int], orig_w: int, h: int,
+                     palette: list[int]) -> list[int]:
+    n = len(palette)
+    xbits = _palette_xbits(n)
+    bpp = 8 >> xbits
+    packed_w = _div_round_up(orig_w, 1 << xbits)
+    out = []
+    mask = (1 << bpp) - 1
+    for y in range(h):
+        for x in range(orig_w):
+            green = (px[y * packed_w + (x >> xbits)] >> 8) & 0xFF
+            idx = (green >> ((x & ((1 << xbits) - 1)) * bpp)) & mask
+            out.append(palette[idx] if idx < n else 0)
+    return out
+
+
+def decode_vp8l(payload: bytes, max_pixels: int = 1 << 24):
+    """VP8L chunk payload -> (width, height, has_alpha, ARGB list).
+
+    ``max_pixels`` (default 16M ~ 4096x4096) is a decompression-bomb
+    guard: a 30-byte stream can legally declare 16384x16384 and expand
+    through LZ77 copies - crawl payloads are hostile by default."""
+    br = _BitReader(payload)
+    if br.read(8) != 0x2F:
+        raise WebpError("bad VP8L signature")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    if w * h > max_pixels:
+        raise WebpError(f"image {w}x{h} exceeds max_pixels bound")
+    has_alpha = br.read_bit()
+    if br.read(3) != 0:
+        raise WebpError("VP8L version != 0")
+    transforms = []  # (type, payload...) in READ order
+    seen = set()
+    cur_w = w
+    while br.read_bit():
+        t = br.read(2)
+        if t in seen:
+            raise WebpError("duplicate transform")
+        seen.add(t)
+        if t in (0, 1):  # predictor / cross-color
+            size_bits = br.read(3) + 2
+            bw = _div_round_up(cur_w, 1 << size_bits)
+            bh = _div_round_up(h, 1 << size_bits)
+            sub = _read_entropy_coded(br, bw, bh, False)
+            transforms.append((t, size_bits, sub, cur_w))
+        elif t == 2:  # subtract green
+            transforms.append((2,))
+        else:  # color indexing
+            n = br.read(8) + 1
+            pal = _read_entropy_coded(br, n, 1, False)
+            for i in range(1, n):  # palette entries are delta-coded
+                pal[i] = _add_pixels(pal[i], pal[i - 1])
+            transforms.append((3, cur_w, pal))
+            cur_w = _div_round_up(cur_w, 1 << _palette_xbits(n))
+    px = _read_entropy_coded(br, cur_w, h, True)
+    if len(px) != cur_w * h:
+        raise WebpError("pixel count mismatch")
+    for tf in reversed(transforms):
+        if tf[0] == 3:
+            _, orig_w, pal = tf
+            px = _inverse_palette(px, orig_w, h, pal)
+            cur_w = orig_w
+        elif tf[0] == 2:
+            _inverse_subtract_green(px)
+        elif tf[0] == 1:
+            _inverse_color_transform(px, cur_w, h, tf[1], tf[2])
+        else:
+            _inverse_predictor(px, cur_w, h, tf[1], tf[2])
+    return w, h, bool(has_alpha), px
+
+
+def _find_vp8l_chunk(buf: bytes) -> bytes:
+    """VP8L payload from a WebP container (direct or inside VP8X)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise WebpError("not a WebP container")
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"VP8L":
+            return body
+        if cid == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) needs the boolean arithmetic decoder")
+        pos += 8 + size + (size & 1)
+    raise WebpError("no VP8L chunk")
+
+
+def decode_webp_lossless(buf: bytes):
+    """WebP file -> (width, height, samples) - RGB bytes, or RGBA when
+    the header's alpha flag is set (the PNG convention downstream)."""
+    w, h, has_alpha, px = decode_vp8l(_find_vp8l_chunk(buf))
+    out = bytearray()
+    if has_alpha:
+        for p in px:
+            out += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF,
+                          (p >> 24) & 0xFF))
+    else:
+        for p in px:
+            out += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+    return w, h, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# encoder twin
+# ---------------------------------------------------------------------------
+
+
+def _huffman_lengths(freqs: dict[int, int], max_len: int = 15) -> dict:
+    """Optimal prefix-code lengths via the heap construction; the tiny
+    alphabets here never approach the 15-bit cap."""
+    items = [(f, s) for s, f in freqs.items() if f > 0]
+    if not items:
+        return {}
+    if len(items) == 1:
+        return {items[0][1]: 1}
+    heap = [(f, i, {s: 0}) for i, (f, s) in enumerate(items)]
+    heapq.heapify(heap)
+    counter = len(heap)
+    while len(heap) > 1:
+        f1, _, d1 = heapq.heappop(heap)
+        f2, _, d2 = heapq.heappop(heap)
+        merged = {s: l + 1 for s, l in d1.items()}
+        merged.update({s: l + 1 for s, l in d2.items()})
+        heapq.heappush(heap, (f1 + f2, counter, merged))
+        counter += 1
+    lengths = heap[0][2]
+    if max(lengths.values()) > max_len:
+        raise WebpError("code length cap exceeded")  # unreachable here
+    return lengths
+
+
+def _write_prefix_code(bw: _BitWriter, lengths: dict[int, int],
+                       alphabet_size: int) -> dict:
+    """Emit a prefix-code description; returns {sym: (code, len)}."""
+    syms = sorted(lengths)
+    if len(syms) <= 2 and all(s < 256 for s in syms):
+        bw.write(1, 1)                      # simple
+        bw.write(len(syms) - 1, 1)
+        first_8 = 0 if syms[0] <= 1 else 1
+        bw.write(first_8, 1)
+        bw.write(syms[0], 8 if first_8 else 1)
+        if len(syms) == 2:
+            bw.write(syms[1], 8)
+            return {syms[0]: (0, 1), syms[1]: (1, 1)}
+        return {syms[0]: (0, 0)}
+    bw.write(0, 1)                          # code-length coded
+    full = [lengths.get(s, 0) for s in range(alphabet_size)]
+    clc_freq: dict[int, int] = {}
+    for l in full:
+        clc_freq[l] = clc_freq.get(l, 0) + 1
+    clc_len = _huffman_lengths(clc_freq, 7)
+    if len(clc_len) == 1:
+        # degenerate: a single code-length symbol still needs a
+        # decodable (two-symbol) code-length code
+        only = next(iter(clc_len))
+        other = 0 if only != 0 else 1
+        clc_len = {only: 1, other: 1}
+    # order so every used slot is within the emitted prefix
+    n_emit = 0
+    for i, s in enumerate(_CLC_ORDER):
+        if clc_len.get(s, 0) > 0:
+            n_emit = i + 1
+    n_emit = max(n_emit, 4)
+    bw.write(n_emit - 4, 4)
+    for i in range(n_emit):
+        bw.write(clc_len.get(_CLC_ORDER[i], 0), 3)
+    clc_codes = _canonical_codes(
+        [clc_len.get(s, 0) for s in range(19)])
+    bw.write(0, 1)                          # no max_symbol cap
+    for l in full:
+        code, ln = clc_codes[l]
+        bw.write_code(code, ln)
+    codes = _canonical_codes(full)
+    return codes
+
+
+def _sub_pixels(a: int, b: int) -> int:
+    """Per-channel (a - b) mod 256 - the forward of _add_pixels."""
+    return ((((a >> 24) - (b >> 24)) & 0xFF) << 24 |
+            ((((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) & 0xFF) << 16 |
+            ((((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) & 0xFF) << 8 |
+            (((a & 0xFF) - (b & 0xFF)) & 0xFF))
+
+
+def _forward_predictor(px: list[int], w: int, h: int, size_bits: int,
+                       mode: int) -> tuple[list[int], list[int]]:
+    """Residual image + mode sub-image for a constant per-block mode."""
+    bw_ = _div_round_up(w, 1 << size_bits)
+    bh_ = _div_round_up(h, 1 << size_bits)
+    modes = [0xFF000000 | (mode << 8)] * (bw_ * bh_)
+    out = []
+    for i in range(w * h):
+        x, y = i % w, i // w
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = px[i - 1]
+        elif x == 0:
+            pred = px[i - w]
+        else:
+            pred = _predict(mode, px[i - 1], px[i - w], px[i - w + 1],
+                            px[i - w - 1])
+        out.append(_sub_pixels(px[i], pred))
+    return out, modes
+
+
+def _write_literal_plane(bw: _BitWriter, px: list[int]) -> None:
+    """One SUB-image (entropy-coded, no meta): literals only."""
+    bw.write(0, 1)  # no color cache
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    for p in px:
+        gf[(p >> 8) & 0xFF] = gf.get((p >> 8) & 0xFF, 0) + 1
+        rf[(p >> 16) & 0xFF] = rf.get((p >> 16) & 0xFF, 0) + 1
+        bf[p & 0xFF] = bf.get(p & 0xFF, 0) + 1
+        af[(p >> 24) & 0xFF] = af.get((p >> 24) & 0xFF, 0) + 1
+    g_codes = _write_prefix_code(bw, _huffman_lengths(gf), 280)
+    r_codes = _write_prefix_code(bw, _huffman_lengths(rf), 256)
+    b_codes = _write_prefix_code(bw, _huffman_lengths(bf), 256)
+    a_codes = _write_prefix_code(bw, _huffman_lengths(af), 256)
+    _write_prefix_code(bw, {0: 1}, 40)  # unused distances
+    for p in px:
+        bw.write_code(*g_codes[(p >> 8) & 0xFF])
+        bw.write_code(*r_codes[(p >> 16) & 0xFF])
+        bw.write_code(*b_codes[p & 0xFF])
+        bw.write_code(*a_codes[(p >> 24) & 0xFF])
+
+
+def encode_webp_lossless(width: int, height: int, pixels: bytes,
+                         channels: int = 3, subtract_green: bool = False,
+                         use_lz77: bool = False,
+                         cache_bits: int = 0,
+                         predictor_mode: int | None = None,
+                         cross_color: tuple[int, int, int] | None = None,
+                         meta_bits: int | None = None,
+                         palette: bool = False) -> bytes:
+    """Deterministic VP8L writer for test goldens: literal pixels with
+    optimal per-channel prefix codes (written through the real
+    code-length coding), optionally the subtract-green transform, a
+    constant-mode predictor transform, a single-block cross-color
+    transform, meta-prefix groups (group = block ordinal mod 2),
+    left-run LZ77 backward references (raw distance codes > 120) and a
+    color cache."""
+    if channels not in (3, 4):
+        raise ValueError("channels must be 3 or 4")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    px = []
+    for i in range(width * height):
+        o = i * channels
+        r, g, b = pixels[o], pixels[o + 1], pixels[o + 2]
+        a = pixels[o + 3] if channels == 4 else 0xFF
+        px.append((a << 24) | (r << 16) | (g << 8) | b)
+    pal_entries = None
+    if palette:
+        assert predictor_mode is None and cross_color is None \
+            and not subtract_green
+        pal_entries = []
+        index = {}
+        for p in px:
+            if p not in index:
+                index[p] = len(pal_entries)
+                pal_entries.append(p)
+        if len(pal_entries) > 256:
+            raise ValueError("palette fixture needs <= 256 colors")
+        xbits = _palette_xbits(len(pal_entries))
+        bpp = 8 >> xbits
+        packed_w = _div_round_up(width, 1 << xbits)
+        packed = []
+        for y in range(height):
+            for bx in range(packed_w):
+                green = 0
+                for j in range(1 << xbits):
+                    x = (bx << xbits) + j
+                    if x < width:
+                        green |= index[px[y * width + x]] << (j * bpp)
+                packed.append(0xFF000000 | (green << 8))
+        px = packed
+    pred_sub = None
+    if predictor_mode is not None:
+        px, pred_sub = _forward_predictor(px, width, height, 2,
+                                          predictor_mode)
+    cc_pixel = None
+    if cross_color is not None:
+        if max(width, height) > 512:
+            raise ValueError("cross_color fixture limited to one block")
+        g2r, g2b, r2b = cross_color
+        cc_pixel = 0xFF000000 | ((r2b & 0xFF) << 16) | \
+            ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+        tpx = []
+        for p in px:
+            green = (p >> 8) & 0xFF
+            red = (p >> 16) & 0xFF
+            blue = p & 0xFF
+            s_red = (red - _ct_delta(g2r & 0xFF, green)) & 0xFF
+            s_blue = (blue - _ct_delta(g2b & 0xFF, green)
+                      - _ct_delta(r2b & 0xFF, red)) & 0xFF
+            tpx.append((p & 0xFF000000) | (s_red << 16) | (green << 8)
+                       | s_blue)
+        px = tpx
+    if subtract_green:
+        tpx = []
+        for p in px:
+            g = (p >> 8) & 0xFF
+            r = (((p >> 16) & 0xFF) - g) & 0xFF
+            b = ((p & 0xFF) - g) & 0xFF
+            tpx.append((p & 0xFF000000) | (r << 16) | (g << 8) | b)
+        px = tpx
+
+    # token stream: ("lit", px) | ("copy", length, dist) | ("cache", idx)
+    tokens = []
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    i = 0
+    n = len(px)
+    while i < n:
+        if use_lz77 and i > 0 and px[i] == px[i - 1]:
+            run = 1
+            while i + run < n and px[i + run] == px[i - 1] and run < 4096:
+                run += 1
+            tokens.append(("copy", run, 1))
+            if cache is not None:
+                slot = ((_HASH_MUL * px[i]) & 0xFFFFFFFF) \
+                    >> (32 - cache_bits)
+                cache[slot] = px[i]
+            i += run
+            continue
+        if cache is not None:
+            slot = ((_HASH_MUL * px[i]) & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[slot] == px[i]:
+                tokens.append(("cache", slot))
+                i += 1
+                continue
+            cache[slot] = px[i]
+        tokens.append(("lit", px[i]))
+        i += 1
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+    for tok in tokens:
+        if tok[0] == "lit":
+            p = tok[1]
+            gf[(p >> 8) & 0xFF] = gf.get((p >> 8) & 0xFF, 0) + 1
+            rf[(p >> 16) & 0xFF] = rf.get((p >> 16) & 0xFF, 0) + 1
+            bf[p & 0xFF] = bf.get(p & 0xFF, 0) + 1
+            af[(p >> 24) & 0xFF] = af.get((p >> 24) & 0xFF, 0) + 1
+        elif tok[0] == "copy":
+            lc, _, _ = _prefix_encode(tok[1])
+            gf[256 + lc] = gf.get(256 + lc, 0) + 1
+            dc, _, _ = _prefix_encode(tok[2] + 120)
+            df[dc] = df.get(dc, 0) + 1
+        else:
+            gf[280 + tok[1]] = gf.get(280 + tok[1], 0) + 1
+    for f in (rf, bf, af, df):
+        if not f:
+            f[0] = 1  # unused channel still needs a valid code
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if channels == 4 else 0, 1)
+    bw.write(0, 3)                          # version
+    if pal_entries is not None:
+        bw.write(1, 1)
+        bw.write(3, 2)                      # color indexing
+        bw.write(len(pal_entries) - 1, 8)
+        deltas = [pal_entries[0]] + [
+            _sub_pixels(pal_entries[i], pal_entries[i - 1])
+            for i in range(1, len(pal_entries))]
+        _write_literal_plane(bw, deltas)
+    if pred_sub is not None:
+        bw.write(1, 1)
+        bw.write(0, 2)                      # predictor transform
+        bw.write(0, 3)                      # size_bits 2
+        _write_literal_plane(bw, pred_sub)
+    if cc_pixel is not None:
+        bw.write(1, 1)
+        bw.write(1, 2)                      # cross-color transform
+        bw.write(7, 3)                      # size_bits 9: one block
+        _write_literal_plane(bw, [cc_pixel])
+    if subtract_green:
+        bw.write(1, 1)                      # transform present
+        bw.write(2, 2)                      # subtract green
+    bw.write(0, 1)                          # no more transforms
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    green_alpha = 256 + 24 + cache_size
+    if meta_bits is not None:
+        # two prefix groups, group = block ordinal mod 2; only the
+        # literal token stream keeps pixel<->token alignment
+        assert not use_lz77 and not cache_bits
+        assert 2 <= meta_bits <= 9
+        bw.write(1, 1)                      # meta prefix present
+        bw.write(meta_bits - 2, 3)
+        mw = _div_round_up(width, 1 << meta_bits)
+        mh = _div_round_up(height, 1 << meta_bits)
+        n_groups = 2 if mw * mh > 1 else 1
+        meta_px = [0xFF000000 | (((i % n_groups) & 0xFF) << 8)
+                   for i in range(mw * mh)]
+        _write_literal_plane(bw, meta_px)
+
+        def gid(pos: int) -> int:
+            x, y = pos % width, pos // width
+            return ((y >> meta_bits) * mw + (x >> meta_bits)) % n_groups
+
+        freqs = [[{}, {}, {}, {}, {0: 1}] for _ in range(n_groups)]
+        for pos, tok in enumerate(tokens):
+            p = tok[1]
+            f = freqs[gid(pos)]
+            for j, v in enumerate(((p >> 8) & 0xFF, (p >> 16) & 0xFF,
+                                   p & 0xFF, (p >> 24) & 0xFF)):
+                f[j][v] = f[j].get(v, 0) + 1
+        group_codes = []
+        for f in freqs:
+            group_codes.append((
+                _write_prefix_code(bw, _huffman_lengths(f[0]),
+                                   green_alpha),
+                _write_prefix_code(bw, _huffman_lengths(f[1]), 256),
+                _write_prefix_code(bw, _huffman_lengths(f[2]), 256),
+                _write_prefix_code(bw, _huffman_lengths(f[3]), 256),
+                _write_prefix_code(bw, _huffman_lengths(f[4]), 40)))
+        for pos, tok in enumerate(tokens):
+            p = tok[1]
+            gc, rc, bc, ac, _dc = group_codes[gid(pos)]
+            bw.write_code(*gc[(p >> 8) & 0xFF])
+            bw.write_code(*rc[(p >> 16) & 0xFF])
+            bw.write_code(*bc[p & 0xFF])
+            bw.write_code(*ac[(p >> 24) & 0xFF])
+        payload = bw.tobytes()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        return (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP"
+                + chunk)
+    bw.write(0, 1)                          # no meta prefix
+    g_codes = _write_prefix_code(bw, _huffman_lengths(gf), green_alpha)
+    r_codes = _write_prefix_code(bw, _huffman_lengths(rf), 256)
+    b_codes = _write_prefix_code(bw, _huffman_lengths(bf), 256)
+    a_codes = _write_prefix_code(bw, _huffman_lengths(af), 256)
+    d_codes = _write_prefix_code(bw, _huffman_lengths(df), 40)
+    for tok in tokens:
+        if tok[0] == "lit":
+            p = tok[1]
+            bw.write_code(*g_codes[(p >> 8) & 0xFF])
+            bw.write_code(*r_codes[(p >> 16) & 0xFF])
+            bw.write_code(*b_codes[p & 0xFF])
+            bw.write_code(*a_codes[(p >> 24) & 0xFF])
+        elif tok[0] == "copy":
+            _, length, dist = tok
+            lc, leb, lev = _prefix_encode(length)
+            bw.write_code(*g_codes[256 + lc])
+            bw.write(lev, leb)
+            dc, deb, dev = _prefix_encode(dist + 120)
+            bw.write_code(*d_codes[dc])
+            bw.write(dev, deb)
+        else:
+            bw.write_code(*g_codes[280 + tok[1]])
+    payload = bw.tobytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -54,6 +54,7 @@ def test_fixture_pdfs_deterministic_under_repeat():
 
 _MEDIA_MAGICS = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a",
                  b"GIF87a", b"II*\x00", b"MM\x00*", b"RIFFxxxxWAVE",
+                 b"RIFFxxxxWEBPVP8L\x10\x00\x00\x00\x2f",
                  b"P6\n", b"P5\n", b"BM", b""]
 
 
@@ -84,6 +85,7 @@ def test_media_byte_flips_contained(data):
         encode_jpeg, encode_jpeg_progressive,
     )
     from livre_spark.functions.multimodal import decode_image
+    from livre_spark.functions.webp import encode_webp_lossless
 
     px = bytes((i * 17 + 3) & 0xFF for i in range(9 * 7 * 3))
     gray = px[: 9 * 7]
@@ -97,6 +99,7 @@ def test_media_byte_flips_contained(data):
         encode_tiff(9, 7, px, compression="packbits", tile=(4, 4)),
         encode_bmp(9, 7, px),
         encode_wav(8000, 1, [i * 100 - 3000 for i in range(60)]),
+        encode_webp_lossless(9, 7, px, use_lz77=True, cache_bits=3),
         b"P5\n9 7\n255\n" + gray,
     ]
     buf = bytearray(data.draw(st.sampled_from(files)))

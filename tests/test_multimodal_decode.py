@@ -58,8 +58,11 @@ def test_png_corruption_contained():
     from livre_spark.functions.gif import GifError
     with pytest.raises(GifError):
         decode_image(b"GIF89a rest")  # truncated screen descriptor
-    with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF....WEBP")  # WebP still needs a codec
+    from livre_spark.functions.webp import WebpError
+    with pytest.raises(WebpError):
+        decode_image(b"RIFF\x04\x00\x00\x00WEBP")  # no VP8L chunk
+    with pytest.raises(NotImplementedError):  # lossy VP8 = codec boundary
+        decode_image(b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
 
 
 @pytest.mark.parametrize("gray", [False, True])
@@ -105,7 +108,8 @@ def test_spark_real_decode(spark):
         [(1, "image", bytearray(encode_png(w, h, png_px))),
          (2, "image", bytearray(encode_ppm(w, h, ppm_px))),
          (3, "image", bytearray(encode_bmp(w, h, png_px))),
-         (4, "image", bytearray(b"RIFF....WEBP no codec")),
+         (4, "image",
+          bytearray(b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")),
          (5, "image", bytearray(encode_png(w, h, png_px)[:30])),
          (6, "image", bytearray(b"\xff\xd8\xffjpeg"))],
         "media_id long, kind string, content binary")
@@ -426,9 +430,9 @@ def test_wav_containment():
     bad[fmt_at:fmt_at + 2] = _s.pack("<H", 3)
     with pytest.raises(NotImplementedError):
         decode_image(bytes(bad))
-    # WebP (RIFF but not WAVE) still routes to the codec boundary
-    with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF....WEBPVP8 ")
+    # lossy WebP (RIFF but not WAVE) still routes to the codec boundary
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_image(b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
 
 
 # --- TIFF --------------------------------------------------------------------
@@ -728,13 +732,32 @@ def test_webp_dimensions_all_layouts():
     assert image_dimensions(_webp_container(b"VP8 ", b"\x00" * 10)) is None
 
 
-def test_webp_decode_image_not_implemented():
+def test_webp_lossless_decodes_through_decode_image():
+    """VP8L roundtrips through the multimodal dispatch; a truncated
+    VP8L stream is a contained error; lossy VP8 stays a codec
+    boundary (NotImplementedError)."""
     import pytest as _pytest
-    from livre_spark.functions.multimodal import decode_image
 
-    buf = _webp_container(b"VP8L", b"\x2f\x00\x00\x00\x00")
+    from livre_spark.functions.multimodal import decode_image
+    from livre_spark.functions.webp import (
+        WebpError, encode_webp_lossless,
+    )
+
+    w, h = 9, 6
+    px = _gradient(w * h * 3)
+    buf = encode_webp_lossless(w, h, px)
+    gw, gh, feats = decode_image(buf)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(px)
+    # RGBA: alpha rides along like PNG color type 6
+    pxa = _gradient(w * h * 4)
+    gw, gh, feats = decode_image(
+        encode_webp_lossless(w, h, pxa, channels=4))
+    assert (gw, gh) == (w, h) and feats == _expected_features(pxa)
+    with _pytest.raises(WebpError):
+        decode_image(buf[: len(buf) - 6])
     with _pytest.raises(NotImplementedError):
-        decode_image(buf)
+        decode_image(_webp_container(b"VP8 ", b"\x00" * 10))
 
 
 @pytest.mark.parametrize("tile", [(16, 16), (8, 4), (5, 7)])
