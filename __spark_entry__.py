@@ -1233,6 +1233,52 @@ FROM documents
 """
 
 
+def _real_webp_batches(batches):
+    """Per row: the md5-hex raster (the PPM row's nibble trick) wrapped
+    in a REAL VP8L WebP by the deterministic encoder twin - option mix
+    cycled by doc_id (plain / subtract-green / LZ77+cache / predictor)
+    so all four encode shapes hit the full decoder - then
+    multimodal.decode_image end-to-end (container walk, prefix codes,
+    transforms, histogram)."""
+    import hashlib
+
+    import pandas as pd
+
+    from livre_spark.functions.multimodal import decode_image
+    from livre_spark.functions.webp import encode_webp_lossless
+
+    for batch in batches:
+        out = {"url": [], "width": [], "height": [], "f6_count": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            did = int(doc_id)
+            raster = (hashlib.md5(str(text).encode()).hexdigest()
+                      * 6).encode()
+            variant = did % 4
+            buf = encode_webp_lossless(
+                8, 8, raster,
+                subtract_green=variant == 1,
+                use_lz77=variant == 2,
+                cache_bits=3 if variant == 2 else 0,
+                predictor_mode=7 if variant == 3 else None)
+            w, h, feats = decode_image(buf)
+            out["url"].append(f"pdf://{did}")
+            out["width"].append(w)
+            out["height"].append(h)
+            out["f6_count"].append(int(round(feats[6] * 192)))
+        yield pd.DataFrame(out)
+
+
+def q_webp_real_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _real_webp_batches,
+        schema="url string, width int, height int, f6_count long")
+
+
+# the decode is lossless, so the expected histogram is the PPM row's
+SQL_WEBP_REAL_DECODE = SQL_MULTIMODAL_REAL_DECODE
+
+
 def _pdf_images_batches(batches):
     """Per row: md5-hex raster (8x8 RGB, the nibble-split trick) -> PDF
     with an embedded Flate raster XObject (every 2nd doc ENCRYPTED, so
@@ -1473,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "sample_stratified": q_sample_stratified,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "webp_real_decode": q_webp_real_decode,
         "pdf_images": q_pdf_images,
         "audio_features": q_audio_features,
     }
@@ -1524,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
+        "webp_real_decode": SQL_WEBP_REAL_DECODE,
         "pdf_images": SQL_PDF_IMAGES,
         "audio_features": SQL_AUDIO_FEATURES,
     }
