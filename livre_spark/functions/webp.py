@@ -601,27 +601,31 @@ def decode_webp_lossless(buf: bytes):
 
 
 def _huffman_lengths(freqs: dict[int, int], max_len: int = 15) -> dict:
-    """Optimal prefix-code lengths via the heap construction; the tiny
-    alphabets here never approach the 15-bit cap."""
+    """Prefix-code lengths via the heap construction, capped at
+    ``max_len``: a skewed histogram (e.g. predictor residuals - a few
+    huge counts plus singletons) legitimately exceeds 15 bits, so on
+    overflow the dynamic range is halved and the tree rebuilt -
+    converging to near-uniform lengths, always a valid complete code."""
     items = [(f, s) for s, f in freqs.items() if f > 0]
     if not items:
         return {}
     if len(items) == 1:
         return {items[0][1]: 1}
-    heap = [(f, i, {s: 0}) for i, (f, s) in enumerate(items)]
-    heapq.heapify(heap)
-    counter = len(heap)
-    while len(heap) > 1:
-        f1, _, d1 = heapq.heappop(heap)
-        f2, _, d2 = heapq.heappop(heap)
-        merged = {s: l + 1 for s, l in d1.items()}
-        merged.update({s: l + 1 for s, l in d2.items()})
-        heapq.heappush(heap, (f1 + f2, counter, merged))
-        counter += 1
-    lengths = heap[0][2]
-    if max(lengths.values()) > max_len:
-        raise WebpError("code length cap exceeded")  # unreachable here
-    return lengths
+    while True:
+        heap = [(f, i, {s: 0}) for i, (f, s) in enumerate(items)]
+        heapq.heapify(heap)
+        counter = len(heap)
+        while len(heap) > 1:
+            f1, _, d1 = heapq.heappop(heap)
+            f2, _, d2 = heapq.heappop(heap)
+            merged = {s: l + 1 for s, l in d1.items()}
+            merged.update({s: l + 1 for s, l in d2.items()})
+            heapq.heappush(heap, (f1 + f2, counter, merged))
+            counter += 1
+        lengths = heap[0][2]
+        if max(lengths.values()) <= max_len:
+            return lengths
+        items = [((f + 1) // 2, s) for f, s in items]
 
 
 def _write_prefix_code(bw: _BitWriter, lengths: dict[int, int],

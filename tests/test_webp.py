@@ -170,3 +170,24 @@ def test_containment_truncation_and_flips():
             assert gw >= 1 and gh >= 1
         except (WebpError, NotImplementedError):
             pass
+
+
+def test_skewed_histogram_respects_length_cap():
+    """Predictor residuals of a smooth gradient + rare outliers produce
+    a histogram whose optimal Huffman tree exceeds 15 bits; the writer
+    must degrade to capped lengths, and the stream must roundtrip."""
+    rng = random.Random(2)
+    w, h = 64, 64
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(((x * 4 + rng.randrange(2)) & 0xFF,
+                         (y * 4) & 0xFF,
+                         (x + y + (rng.randrange(200)
+                                   if rng.random() < 0.002 else 0))
+                         & 0xFF))
+    px = bytes(px)
+    buf = encode_webp_lossless(w, h, px, predictor_mode=7,
+                               subtract_green=True)
+    gw, gh, out = decode_webp_lossless(buf)
+    assert (gw, gh) == (w, h) and out == px
