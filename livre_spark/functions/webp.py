@@ -576,6 +576,21 @@ def _find_vp8l_chunk(buf: bytes) -> bytes:
         if cid == b"VP8 ":
             raise NotImplementedError(
                 "lossy WebP (VP8) needs the boolean arithmetic decoder")
+        if cid == b"ANMF" and len(body) > 16:
+            # animation frame: 16-byte frame params, then the frame's
+            # own chunk list - first lossless frame wins
+            inner = body[16:]
+            ipos = 0
+            while ipos + 8 <= len(inner):
+                icid = inner[ipos : ipos + 4]
+                isize = struct.unpack_from("<I", inner, ipos + 4)[0]
+                if icid == b"VP8L":
+                    return inner[ipos + 8 : ipos + 8 + isize]
+                if icid == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy WebP (VP8) needs the boolean arithmetic"
+                        " decoder")
+                ipos += 8 + isize + (isize & 1)
         pos += 8 + size + (size & 1)
     raise WebpError("no VP8L chunk")
 

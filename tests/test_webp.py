@@ -191,3 +191,25 @@ def test_skewed_histogram_respects_length_cap():
                                subtract_green=True)
     gw, gh, out = decode_webp_lossless(buf)
     assert (gw, gh) == (w, h) and out == px
+
+
+def test_animated_webp_first_lossless_frame():
+    """VP8X + ANIM + ANMF container: the first frame's VP8L decodes."""
+    rng = random.Random(4)
+    px = _img(rng, 5, 3)
+    plain = encode_webp_lossless(5, 3, px)
+    vp8l_chunk = plain[12:]
+    frame_params = bytes(16)  # offsets/dims/duration - opaque here
+    anmf_payload = frame_params + vp8l_chunk
+    anmf = b"ANMF" + struct.pack("<I", len(anmf_payload)) + anmf_payload
+    if len(anmf_payload) & 1:
+        anmf += b"\x00"
+    anim = b"ANIM" + struct.pack("<I", 6) + bytes(6)
+    vp8x_payload = (b"\x02\x00\x00\x00"  # animation flag
+                    + (4).to_bytes(3, "little")
+                    + (2).to_bytes(3, "little"))
+    vp8x = b"VP8X" + struct.pack("<I", len(vp8x_payload)) + vp8x_payload
+    body = vp8x + anim + anmf
+    buf = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    gw, gh, out = decode_webp_lossless(buf)
+    assert (gw, gh) == (5, 3) and out == px
