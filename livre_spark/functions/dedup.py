@@ -359,6 +359,14 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     path) to use reliable ``.checkpoint()`` instead: each round is
     persisted to the shared filesystem and survives executor loss at
     the cost of a write per round.
+
+    Checkpoint hygiene: Spark never deletes reliable checkpoint files
+    at job end, and the RETURNED frame still reads the final round's
+    files - they must outlive this call.  Set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+    superseded rounds are GC'd with their DataFrames, and point
+    ``checkpoint_dir`` at a per-run path deleted once the labels are
+    consumed/written.
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)

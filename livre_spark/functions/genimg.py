@@ -171,7 +171,8 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
                 compression: str = "none", predictor: int = 1,
                 endian: str = "<", rows_per_strip: int | None = None,
                 bits: int = 8,
-                tile: tuple[int, int] | None = None) -> bytes:
+                tile: tuple[int, int] | None = None,
+                fill_order: int = 1) -> bytes:
     """Strip or tiled TIFF golden writer (8/16-bit gray/RGB/RGBA;
     none/lzw/packbits; optional horizontal-differencing predictor -
     8-bit only, matching the decoder's honest boundary).  16-bit
@@ -232,6 +233,8 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
                     data = _diff_rows(data, tile_rb)
                 strips.append(_compress(data))
     elif fax:
+        import numpy as np
+
         from ..pdf.ccitt import encode_ccitt
 
         stride = (width + 7) >> 3
@@ -240,13 +243,19 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
         for y0 in range(0, height, rows_per_strip):
             n = min(rows_per_strip, height - y0)
             rows = pixels[y0 * stride : (y0 + n) * stride]
-            strips.append(encode_ccitt(
+            coded = encode_ccitt(
                 rows, width, n, k=fax_k,
                 # TIFF 6.0: MH rows each begin on a byte boundary;
                 # G3 writes EOL-prefixed lines; G4 is bare 2-D
                 byte_align=(compression == "ccitt-mh"),
                 end_of_line=(compression == "ccitt-g3"),
-                end_of_block=False))
+                end_of_block=False)
+            if fill_order == 2:  # fax-device bit order (tag 266)
+                coded = np.packbits(np.unpackbits(
+                    np.frombuffer(coded, dtype=np.uint8)
+                    .reshape(-1, 1), axis=1,
+                    bitorder="little")).tobytes()
+            strips.append(coded)
     else:
         for y0 in range(0, height, rows_per_strip):
             rows = pixels[y0 * row_bytes :
@@ -275,6 +284,8 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
             1 if compression == "ccitt-g3-2d" else 0)))
     elif comp_code == 4:
         entries.append((293, 4, 1, long_(0)))
+    if fax and fill_order == 2:
+        entries.append((266, 3, 1, short(2)))
     if tile is not None:
         entries.append((322, 4, 1, long_(tile[0])))
         entries.append((323, 4, 1, long_(tile[1])))

@@ -374,12 +374,21 @@ def _decode_tiff_fax(buf: bytes, tags: dict, one,
         k, byte_align = (4 if t4 & 1 else 0), bool(t4 & 4)
     else:
         k, byte_align = -1, bool(one(293, 0) & 4)
+    fill_order = one(266, 1)
+    if fill_order not in (1, 2):
+        raise ImageDecodeError(f"bad FillOrder {fill_order}")
     stride = (width + 7) >> 3
     out = bytearray()
     for si, (soff, scnt) in enumerate(zip(offsets, counts)):
         raw = buf[soff : soff + scnt]
         if len(raw) != scnt:
             raise ImageDecodeError("truncated strip")
+        if fill_order == 2:
+            # fax-originated scans store code bits LSB-first within
+            # each byte; bit-reverse back to the T.4/T.6 MSB order
+            raw = np.packbits(np.unpackbits(
+                np.frombuffer(raw, dtype=np.uint8)
+                .reshape(-1, 1), axis=1, bitorder="little")).tobytes()
         n_rows = min(rows_per_strip, height - si * rows_per_strip)
         try:
             packed = decode_ccitt(raw, columns=width, rows=n_rows, k=k,

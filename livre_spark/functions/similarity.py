@@ -83,9 +83,11 @@ def topk_cosine_many(embeddings: DataFrame, queries: DataFrame,
     from pyspark.sql.window import Window
 
     if ivf_path is not None and centroids is not None:
-        # queries are broadcast-small by contract; counting them is a
-        # tiny local action, not a table scan
-        if queries.count() > route_threshold:
+        # limit() bounds the routing probe: only threshold+1 rows of
+        # the queries frame are materialized, so a derived queries df
+        # (filter over a big table) doesn't pay a full scan just to
+        # decide the route
+        if queries.limit(route_threshold + 1).count() > route_threshold:
             return topk_cosine_many_ivf(
                 embeddings.sparkSession, ivf_path, queries, centroids,
                 k=k, n_probe=n_probe, id_col=id_col, qid_col=qid_col,

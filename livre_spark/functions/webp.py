@@ -949,12 +949,7 @@ def encode_webp_lossless(width: int, height: int, pixels: bytes,
             bw.write_code(*rc[(p >> 16) & 0xFF])
             bw.write_code(*bc[p & 0xFF])
             bw.write_code(*ac[(p >> 24) & 0xFF])
-        payload = bw.tobytes()
-        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-        if len(payload) & 1:
-            chunk += b"\x00"
-        return (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP"
-                + chunk)
+        return _riff_wrap(bw.tobytes())
     bw.write(0, 1)                          # no meta prefix
     g_codes = _write_prefix_code(bw, _huffman_lengths(gf), green_alpha)
     r_codes = _write_prefix_code(bw, _huffman_lengths(rf), 256)
@@ -978,7 +973,11 @@ def encode_webp_lossless(width: int, height: int, pixels: bytes,
             bw.write(dev, deb)
         else:
             bw.write_code(*g_codes[280 + tok[1]])
-    payload = bw.tobytes()
+    return _riff_wrap(bw.tobytes())
+
+
+def _riff_wrap(payload: bytes) -> bytes:
+    """VP8L payload -> complete WebP file (word-aligned chunk)."""
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunk += b"\x00"

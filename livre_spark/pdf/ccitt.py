@@ -208,14 +208,31 @@ def _read_run(br: _BitReader, white: bool) -> int:
 
 
 def _try_eol(br: _BitReader) -> bool:
-    """Consume fill zeros + EOL if present at the cursor."""
-    save = br.pos
-    window = br.peek(64)
-    one = window.find("1")
-    if one >= 11 and window[one - 11:one + 1] == EOL:
-        br.skip(one + 1)
+    """Consume fill zeros + EOL if present at the cursor.
+
+    T.4 permits ARBITRARY zero fill before an EOL (minimum scan-line
+    time padding), so the scan for the terminating 1 bit is unbounded:
+    11+ zeros followed by a 1 can only be fill + EOL (no run/mode code
+    has that many leading zeros)."""
+    pos = br.pos
+    data = br.data
+    nbits = len(data) * 8
+    one = -1
+    i = pos
+    # skip zero bits to the next set bit (byte-hopping over 0x00 runs)
+    while i < nbits:
+        if (i & 7) == 0:
+            while i < nbits and data[i >> 3] == 0:
+                i += 8
+            if i >= nbits:
+                break
+        if data[i >> 3] & (0x80 >> (i & 7)):
+            one = i
+            break
+        i += 1
+    if one >= 0 and one - pos >= 11:
+        br.pos = one + 1
         return True
-    br.pos = save
     return False
 
 
@@ -336,7 +353,8 @@ def _transitions_to_packed(trans: list[int], columns: int,
 
 def decode_ccitt(data: bytes, columns: int = 1728, rows: int = 0,
                  k: int = 0, byte_align: bool = False,
-                 black_is_1: bool = False) -> bytes:
+                 black_is_1: bool = False,
+                 max_pixels: int = 1 << 26) -> bytes:
     """Decode a /CCITTFaxDecode payload to packed 1-bpp rows.
 
     ``k`` follows the PDF /K parameter: ``< 0`` G4 (T.6 pure 2-D),
@@ -344,14 +362,26 @@ def decode_ccitt(data: bytes, columns: int = 1728, rows: int = 0,
     EOL.  ``rows=0`` decodes until the data (or an EOFB/RTC) runs out.
     EOLs are tolerated wherever they may legally appear regardless of
     /EndOfLine (writers disagree; the bit pattern is unambiguous since
-    no run code is a prefix of EOL)."""
+    no run code is a prefix of EOL).
+
+    ``max_pixels`` (default 64M ~ 8K x 8K, far above any real fax) is
+    the decompression-bomb guard: /Columns and /Rows are
+    attacker-controlled in crawl PDFs/TIFFs, and a kilobyte of make-up
+    codes can otherwise demand multi-GB row allocations."""
     if columns <= 0:
         raise ParseError("CCITTBadColumns", None, str(columns))
+    if columns > max_pixels or rows * columns > max_pixels:
+        raise ParseError("CCITTTooLarge", None,
+                         f"{columns}x{rows} exceeds max_pixels")
+    max_rows = max_pixels // columns
     br = _BitReader(data)
     ref = [columns, columns]
     out = bytearray()
     n = 0
     while rows <= 0 or n < rows:
+        if n >= max_rows:  # unknown-rows bomb guard
+            raise ParseError("CCITTTooLarge", br.pos,
+                             f"{n} rows x {columns} exceeds max_pixels")
         if byte_align and k <= 0:
             br.align()
         saw_eol = _try_eol(br)

@@ -270,12 +270,18 @@ def streaming_sessionize(events_stream: DataFrame,
             state.remove()
             yield row(sid, s_us, l_us, n, cents)
             return
+        import numpy as np
+
         events = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
             us = (pdf[ts_col].astype("int64"))  # ns since epoch
-            cents = (pdf[value_col] * 100).round(0).astype("int64")
+            # HALF_UP like the batch twin's F.round (pandas .round is
+            # half-even: 0.125 would diverge by a cent)
+            v = pdf[value_col].to_numpy() * 100
+            cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(
+                "int64")
             events.extend(zip(us // 1000, cents))
         if not events:
             return
@@ -292,6 +298,10 @@ def streaming_sessionize(events_stream: DataFrame,
                 sid += 1
                 s_us, l_us, n, cents = us, us, 1, int(c)
             else:
+                # late events inside the watermark may predate the
+                # session start (cross-batch out-of-order); the batch
+                # twin's min(_us) must still match
+                s_us = min(s_us, us)
                 l_us = max(l_us, us)
                 n += 1
                 cents += int(c)

@@ -204,3 +204,34 @@ def test_undecodable_ccitt_stays_codec_tagged():
     (row,) = extract_pdf_images(pdf)
     assert row["kind"] == "codec:CCITTFaxDecode"
     assert row["features"] is None and row["error"] is not None
+
+
+def test_decompression_bomb_guard():
+    """Attacker-controlled /Columns//Rows cannot demand multi-GB rows:
+    oversized declarations raise before allocation, including the
+    unknown-rows loop."""
+    with pytest.raises(ParseError, match="TooLarge"):
+        decode_ccitt(b"\x80" * 100, columns=1 << 30, rows=1, k=0)
+    with pytest.raises(ParseError, match="TooLarge"):
+        decode_ccitt(b"\x80" * 100, columns=1 << 13, rows=1 << 14, k=-1)
+    # rows=0: many tiny rows must hit the cap, not spin to data end
+    img = b"\xff"
+    enc = encode_ccitt(img, 8, 1, k=0, end_of_block=False) * 500
+    with pytest.raises(ParseError, match="TooLarge"):
+        decode_ccitt(enc, columns=8, rows=0, k=0, max_pixels=80)
+
+
+def test_long_fill_before_eol():
+    """T.4 allows arbitrary zero fill before EOL (minimum scan-line
+    time padding); >52 fill bits must still parse."""
+    from livre_spark.pdf.ccitt import EOL, _BitWriter
+
+    img = b"\xcf"
+    bw = _BitWriter()
+    for fill in (0, 13, 53, 200):
+        bw.write("0" * fill + EOL)
+        # row w2 b2 w4, 1-D: white2 black2 white4
+        bw.write("0111" + "11" + "1011")
+    data = bw.tobytes()
+    out = decode_ccitt(data, columns=8, rows=4, k=0)
+    assert out == img * 4

@@ -837,3 +837,13 @@ def test_tiff_fax_containment():
     buf = encode_tiff(16, 9, b"\xf0\x0f" * 9, compression="ccitt-g4")
     with pytest.raises((ValueError, NotImplementedError)):
         decode_image(buf[: len(buf) - 4])
+
+
+def test_tiff_fax_fillorder2():
+    """FillOrder=2 (tag 266): fax devices store code bits LSB-first per
+    byte; decode must bit-reverse before the T.4/T.6 reader."""
+    img = b"\xf0\x0f" * 9
+    buf = encode_tiff(16, 9, img, compression="ccitt-g4", fill_order=2)
+    buf1 = encode_tiff(16, 9, img, compression="ccitt-g4")
+    assert buf != buf1  # the coded bytes really are reversed
+    assert decode_image(buf) == decode_image(buf1)

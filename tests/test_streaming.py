@@ -156,8 +156,9 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
 
     # u1: session A (0, 10min), then >30min gap, session B (120min);
     # u2: one session (5min); u9 late sentinels push the watermark
+    # 0.125 pins HALF_UP cents (pandas' default half-even would say 12)
     b1 = [ev(1, 0, 0, 1.25), ev(1, 1, 10, 2.50), ev(1, 2, 120, 4.00),
-          ev(2, 3, 5, 3.00)]
+          ev(2, 3, 5, 0.125)]
     b2 = [ev(9, 4, 600, 0.50)]    # watermark -> 10:00 closes u1B + u2
     b3 = [ev(9, 5, 1300, 0.25)]   # watermark -> closes u9's first
 
