@@ -419,14 +419,14 @@ def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
 
     def one(tag, default=None):
         v = tags.get(tag)
-        if v is None:
+        if not v:  # absent OR hostile zero-count entry
             if default is None:
                 raise ImageDecodeError(f"missing TIFF tag {tag}")
             return default
         return v[0]
     width, height = one(256), one(257)
     spp = one(277, 1)
-    bits = tags.get(258, [8] * spp)
+    bits = tags.get(258) or [8] * spp
     compression = one(259, 1)
     if compression in (2, 3, 4):
         return _decode_tiff_fax(buf, tags, one, compression)

@@ -48,14 +48,13 @@ class _BitReader:
         self.nbits = len(data) * 8
 
     def read(self, n: int) -> int:
-        v = 0
         p = self.pos
         if p + n > self.nbits:
             raise WebpError("VP8L bitstream truncated")
-        for i in range(n):
-            v |= ((self.data[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        byte0 = p >> 3
+        w = int.from_bytes(self.data[byte0 : byte0 + 8], "little")
         self.pos = p + n
-        return v
+        return (w >> (p & 7)) & ((1 << n) - 1)
 
     def read_bit(self) -> int:
         p = self.pos
@@ -63,6 +62,14 @@ class _BitReader:
             raise WebpError("VP8L bitstream truncated")
         self.pos = p + 1
         return (self.data[p >> 3] >> (p & 7)) & 1
+
+    def peek_field(self, n: int) -> int:
+        """n stream bits at the cursor, LSB-first, zero-padded past the
+        end - the prefix-code fast path (the LUTs are keyed by this
+        exact bit order, so no per-bit reversal happens at read time)."""
+        byte0 = self.pos >> 3
+        w = int.from_bytes(self.data[byte0 : byte0 + 8], "little")
+        return (w >> (self.pos & 7)) & ((1 << n) - 1)
 
 
 class _BitWriter:
@@ -112,7 +119,12 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _Huffman:
-    """Decoder for one canonical prefix code."""
+    """Decoder for one canonical prefix code.
+
+    Decoding is a single ``max_len``-wide field peek into a flat LUT
+    keyed by the STREAM bit order (codes are MSB-first, the stream is
+    LSB-first per byte, so each code is bit-reversed once at build
+    time) - one dict-free load per symbol instead of a per-bit walk."""
 
     def __init__(self, lengths: list[int]):
         nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -120,39 +132,50 @@ class _Huffman:
             raise WebpError("empty prefix code")
         if len(nz) == 1:
             self.single = nz[0][1]
-            self.table = None
             return
         self.single = None
-        self.table = {}
-        self.max_len = max(l for l, _ in nz)
-        for s, (code, l) in _canonical_codes(lengths).items():
-            self.table[(l, code)] = s
+        self._build(_canonical_codes(lengths))
+
+    def _build(self, codes: dict) -> None:
+        W = max(l for _c, l in codes.values())
+        if W > 15:
+            raise WebpError("prefix code deeper than 15 bits")
+        self.max_len = W
+        lut: list = [None] * (1 << W)
+        for s, (code, l) in codes.items():
+            if code >> l:
+                # more codes at some length than 2^length can hold -
+                # hostile lengths; the canonical assignment overflowed
+                raise WebpError("oversubscribed prefix code")
+            rev = int(format(code, f"0{l}b")[::-1], 2)
+            for suffix in range(1 << (W - l)):
+                lut[rev | (suffix << l)] = (s, l)
+        self.lut = lut
 
     @classmethod
     def fixed(cls, symbol: int) -> "_Huffman":
         h = cls.__new__(cls)
         h.single = symbol
-        h.table = None
         return h
 
     @classmethod
     def pair(cls, s0: int, s1: int) -> "_Huffman":
         h = cls.__new__(cls)
         h.single = None
-        h.table = {(1, 0): s0, (1, 1): s1}
-        h.max_len = 1
+        h._build({s0: (0, 1), s1: (1, 1)})
         return h
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        for l in range(1, self.max_len + 1):
-            code = (code << 1) | br.read_bit()
-            sym = self.table.get((l, code))
-            if sym is not None:
-                return sym
-        raise WebpError("invalid prefix code in stream")
+        hit = self.lut[br.peek_field(self.max_len)]
+        if hit is None:
+            raise WebpError("invalid prefix code in stream")
+        sym, l = hit
+        br.pos += l
+        if br.pos > br.nbits:
+            raise WebpError("VP8L bitstream truncated")
+        return sym
 
 
 _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
