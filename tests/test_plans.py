@@ -45,8 +45,9 @@ def test_no_python_row_udfs_in_relational_queries(spark):
         plan = _plan(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         if name not in ("extract_roundtrip", "multimodal_features",
-                        "multimodal_real_decode", "doc_info_crypt",
-                        "pdf_images", "audio_features"):
+                        "multimodal_real_decode", "webp_real_decode",
+                        "doc_info_crypt", "pdf_images",
+                        "audio_features"):
             assert "MapInPandas" not in plan, name
 
 
