@@ -26,10 +26,16 @@ PAGES_SCHEMA = StructType([
 def read_pages(spark: SparkSession, source: str) -> DataFrame:
     """Read the Common-Crawl-style pages table.
 
-    ``source`` is an Iceberg table name (contains no '/') or a parquet
-    path.  Column pruning / predicate pushdown happen downstream via
-    Catalyst either way.
+    ``source`` is an Iceberg table name (contains no '/'), a parquet
+    path, or raw crawl output - a ``.warc``/``.warc.gz`` file, a
+    directory of them, or a glob (routed to :mod:`.warc`, one task per
+    file).  Column pruning / predicate pushdown happen downstream via
+    Catalyst for the table paths.
     """
+    if ".warc" in source:
+        from .warc import read_warc
+
+        return read_warc(spark, source)
     if "/" not in source and "." in source:
         try:
             return spark.read.format("iceberg").load(source)

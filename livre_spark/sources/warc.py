@@ -1,0 +1,261 @@
+"""WARC ingestion: the format crawls actually arrive in.
+
+Common Crawl (and every Heritrix-style crawler) ships WARC/1.0 files:
+a sequence of records, each a header block (``WARC/1.0`` + name:value
+lines), a blank line, ``Content-Length`` payload bytes, and a blank
+separator - usually with EVERY record its own gzip member so readers
+can skip without decompressing the file (ISO 28500; Python's ``gzip``
+reads concatenated members transparently).
+
+Scale model - file-per-task parallelism: per-record gzip members make
+a WARC non-splittable, so the parallelism unit is the FILE, exactly
+how production crawl jobs run (Common Crawl ships ~1 GB files in the
+thousands; 100 TB = ~100k files = ample tasks for any cluster).
+``read_warc`` distributes the file LIST and stream-parses each file
+inside its task - payloads are never concatenated in memory, and the
+emitted rows land in the standard pages schema so the whole pipeline
+(dedup, skew bucketing, extraction, sinks) composes unchanged.
+
+``write_warc`` is the deterministic fixture twin (the repo-wide
+pattern): record layout, per-member gzip, HTTP response wrapping and
+chunked transfer-encoding are all exercised decode-side by goldens it
+writes.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import os
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType, LongType, StringType, StructField, StructType,
+    TimestampType,
+)
+
+WARC_PAGES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("n_bytes", LongType()),
+])
+
+
+class WarcError(ValueError):
+    pass
+
+
+def _read_headers(fh) -> dict[bytes, bytes] | None:
+    """One CRLF-terminated header block -> {lower-name: value}; None at
+    clean EOF."""
+    line = fh.readline()
+    while line in (b"\r\n", b"\n"):  # inter-record separators
+        line = fh.readline()
+    if not line:
+        return None
+    if not line.startswith(b"WARC/"):
+        raise WarcError(f"bad record marker {line[:20]!r}")
+    headers: dict[bytes, bytes] = {}
+    while True:
+        line = fh.readline()
+        if line in (b"\r\n", b"\n", b""):
+            return headers
+        if b":" not in line:
+            raise WarcError(f"bad header line {line[:40]!r}")
+        name, value = line.split(b":", 1)
+        headers[name.strip().lower()] = value.strip()
+
+
+def _dechunk(body: bytes) -> bytes:
+    """HTTP/1.1 chunked transfer decoding (crawlers store the raw wire
+    bytes; Common Crawl records frequently keep the chunking)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise WarcError("truncated chunk size line")
+        size_s = body[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(size_s, 16)
+        except ValueError as exc:
+            raise WarcError(f"bad chunk size {size_s[:16]!r}") from exc
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size > len(body):
+            raise WarcError("truncated chunk body")
+        out += body[pos : pos + size]
+        pos += size + 2  # trailing CRLF
+
+
+def _split_http_response(payload: bytes) -> bytes:
+    """HTTP response wire bytes -> body (headers dropped, chunked
+    encoding undone).  Payloads that aren't HTTP pass through whole."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return payload
+    head = payload[:sep].lower()
+    body = payload[sep + 4:]
+    if b"transfer-encoding:" in head and b"chunked" in head:
+        body = _dechunk(body)
+    return body
+
+
+def _parse_warc_date(value: bytes) -> datetime | None:
+    try:
+        s = value.decode("ascii").strip()
+        if s.endswith("Z"):
+            s = s[:-1]
+        # naive UTC (the repo pins the session timezone to UTC)
+        return datetime.fromisoformat(s)
+    except ValueError:
+        return None
+
+
+def iter_warc_records(fh):
+    """Stream (url, warc_ts, body) response records from a WARC file
+    object (plain or gzipped; per-record gzip members read seamlessly).
+
+    Non-response records (warcinfo, request, metadata, ...) are
+    skipped; a record that fails to parse raises WarcError with the
+    stream position context - callers decide containment."""
+    head = fh.peek(2)[:2] if hasattr(fh, "peek") else b""
+    if head == b"\x1f\x8b":
+        fh = gzip.GzipFile(fileobj=fh)
+    while True:
+        headers = _read_headers(fh)
+        if headers is None:
+            return
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError as exc:
+            raise WarcError("missing/bad Content-Length") from exc
+        payload = fh.read(length)
+        if len(payload) != length:
+            raise WarcError("truncated record payload")
+        rtype = headers.get(b"warc-type", b"")
+        if rtype != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode(
+            "latin-1") or None
+        ts = _parse_warc_date(headers.get(b"warc-date", b""))
+        yield url, ts, _split_http_response(payload)
+
+
+def warc_files(source: str) -> list[str]:
+    """Expand a file / directory / glob into a sorted WARC file list."""
+    if os.path.isdir(source):
+        paths = sorted(
+            _glob.glob(os.path.join(source, "*.warc"))
+            + _glob.glob(os.path.join(source, "*.warc.gz")))
+    elif any(c in source for c in "*?["):
+        paths = sorted(_glob.glob(source))
+    else:
+        paths = [source]
+    if not paths:
+        raise WarcError(f"no WARC files under {source}")
+    return paths
+
+
+def read_warc(spark: SparkSession, source: str,
+              text: str | None = None,
+              lang: str | None = None) -> DataFrame:
+    """WARC file(s)/dir/glob -> the standard pages DataFrame.
+
+    One Spark task per file (the WARC parallelism unit - see module
+    docstring); records stream through ``iter_warc_records`` inside the
+    task, so peak memory is one record, not one file.  A file that
+    fails to parse yields a single diagnostic row (url =
+    ``warc-error://<path>``, html carries the message) - containment,
+    not job death, at crawl scale."""
+    import pandas as pd
+
+    paths = warc_files(source)
+    paths_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string").repartition(len(paths))
+
+    def parse(pdfs):
+        for pdf in pdfs:
+            for path in pdf["path"]:
+                rows = {k: [] for k in ("url", "warc_ts", "html",
+                                        "text", "lang", "n_bytes")}
+                try:
+                    with open(path, "rb") as fh:
+                        bfh = io.BufferedReader(fh)
+                        for url, ts, body in iter_warc_records(bfh):
+                            rows["url"].append(url)
+                            rows["warc_ts"].append(ts)
+                            rows["html"].append(body)
+                            rows["text"].append(text)
+                            rows["lang"].append(lang)
+                            rows["n_bytes"].append(len(body))
+                except (OSError, WarcError, EOFError) as exc:
+                    rows["url"].append(f"warc-error://{path}")
+                    rows["warc_ts"].append(None)
+                    rows["html"].append(
+                        f"{type(exc).__name__}: {exc}".encode())
+                    rows["text"].append(None)
+                    rows["lang"].append(None)
+                    rows["n_bytes"].append(0)
+                yield pd.DataFrame(rows)
+
+    return paths_df.mapInPandas(parse, WARC_PAGES_SCHEMA)
+
+
+def write_warc(path: str, records: list[dict],
+               gzip_members: bool = True,
+               chunked: bool = False) -> None:
+    """Deterministic WARC writer (fixture twin).
+
+    ``records``: dicts with ``url``, ``date`` (ISO string or datetime),
+    ``body`` bytes, optional ``type`` (default ``response``) and
+    ``http`` (default True: wrap the body as an HTTP 200 response;
+    ``chunked`` stores it with chunked transfer-encoding)."""
+    out = io.BytesIO()
+    for rec in records:
+        body = rec["body"]
+        if rec.get("http", True):
+            if chunked:
+                wire = b""
+                for i in range(0, len(body), 7):
+                    part = body[i : i + 7]
+                    wire += f"{len(part):x}".encode() + b"\r\n" + part \
+                        + b"\r\n"
+                wire += b"0\r\n\r\n"
+                enc = b"Transfer-Encoding: chunked\r\n"
+            else:
+                wire = body
+                enc = f"Content-Length: {len(body)}\r\n".encode()
+            payload = (b"HTTP/1.1 200 OK\r\n"
+                       b"Content-Type: text/html\r\n" + enc + b"\r\n"
+                       + wire)
+        else:
+            payload = body
+        date = rec.get("date", "2026-01-01T00:00:00Z")
+        if isinstance(date, datetime):
+            date = date.strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (b"WARC/1.0\r\n"
+                b"WARC-Type: " + rec.get("type", "response").encode()
+                + b"\r\n"
+                b"WARC-Target-URI: " + rec["url"].encode() + b"\r\n"
+                b"WARC-Date: " + date.encode() + b"\r\n"
+                b"Content-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n")
+        member = head + payload + b"\r\n\r\n"
+        if gzip_members:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(member)
+            out.write(buf.getvalue())
+        else:
+            out.write(member)
+    with open(path, "wb") as fh:
+        fh.write(out.getvalue())

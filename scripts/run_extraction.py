@@ -5,7 +5,7 @@ Cluster usage (north rule: ships via --py-files):
 
     cd /root/repo && zip -qr /tmp/engine.zip livre_spark
     spark-submit --py-files /tmp/engine.zip scripts/run_extraction.py \\
-        --input <pages table or parquet path> \\
+        --input <pages table, parquet path, or .warc[.gz] file/dir/glob> \\
         --output <output dir / Iceberg namespace> \\
         --checkpoint <manifest dir>            # enables idempotent resume
 
@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     parser = argparse.ArgumentParser(description="livre-spark extraction job")
-    parser.add_argument("--input", required=True)
+    parser.add_argument("--input", required=True,
+                        help="Iceberg table, parquet path, or raw"
+                             " crawl WARC file/dir/glob")
     parser.add_argument("--output", required=True)
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--no-spans", action="store_true")

@@ -1,0 +1,122 @@
+"""WARC source: writer-twin roundtrips (plain / per-member gzip /
+chunked HTTP), record filtering, containment, and the end-to-end
+crawl-file -> pipeline path."""
+
+import gzip
+import io
+import os
+
+import pytest
+
+from livre_spark.sources.warc import (
+    WarcError, iter_warc_records, read_warc, write_warc,
+)
+
+
+def _records():
+    return [
+        {"url": "http://a.example/", "date": "2026-01-02T03:04:05Z",
+         "body": b"<html><body>alpha</body></html>"},
+        {"url": "http://b.example/x", "date": "2026-01-02T03:04:06Z",
+         "body": b"%PDF-1.7 fake pdf bytes"},
+        # non-response records must be skipped
+        {"url": "http://meta.example/", "type": "metadata",
+         "body": b"ignored", "http": False},
+        {"url": "http://c.example/", "date": "2026-01-02T03:04:07Z",
+         "body": b"\xff\xfebinary \x00payload"},
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+@pytest.mark.parametrize("chunked", [False, True])
+def test_roundtrip_plain_gzip_chunked(tmp_path, gz, chunked):
+    path = str(tmp_path / ("f.warc.gz" if gz else "f.warc"))
+    write_warc(path, _records(), gzip_members=gz, chunked=chunked)
+    with open(path, "rb") as fh:
+        got = list(iter_warc_records(io.BufferedReader(fh)))
+    assert [u for u, _, _ in got] == ["http://a.example/",
+                                      "http://b.example/x",
+                                      "http://c.example/"]
+    assert got[0][2] == b"<html><body>alpha</body></html>"
+    assert got[1][2] == b"%PDF-1.7 fake pdf bytes"
+    assert got[2][2] == b"\xff\xfebinary \x00payload"
+    assert got[0][1].isoformat() == "2026-01-02T03:04:05"
+
+
+def test_gzip_members_are_individually_skippable(tmp_path):
+    """Per-record gzip members (the Common Crawl layout): each member
+    decompresses standalone - the property that lets index-driven
+    readers seek."""
+    path = str(tmp_path / "m.warc.gz")
+    write_warc(path, _records())
+    data = open(path, "rb").read()
+    # locate member boundaries by gzip magic and decode the SECOND one
+    starts = [i for i in range(len(data) - 1)
+              if data[i] == 0x1F and data[i + 1] == 0x8B]
+    assert len(starts) == 4  # one member per record
+    member2 = gzip.decompress(data[starts[1]:starts[2]])
+    assert b"WARC-Target-URI: http://b.example/x" in member2
+
+
+def test_bad_stream_raises_warc_error():
+    with pytest.raises(WarcError):
+        list(iter_warc_records(io.BufferedReader(
+            io.BytesIO(b"NOT A WARC\r\n\r\n"))))
+    # truncated payload
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: 100\r\n\r\nshort")
+    with pytest.raises(WarcError):
+        list(iter_warc_records(io.BufferedReader(io.BytesIO(rec))))
+
+
+def test_read_warc_dataframe(spark, tmp_path):
+    """A directory of WARC files -> pages rows, one task per file,
+    corrupt files contained as diagnostic rows."""
+    d = tmp_path / "crawl"
+    os.makedirs(d)
+    write_warc(str(d / "a.warc.gz"), _records())
+    write_warc(str(d / "b.warc"), [
+        {"url": "http://d.example/", "date": "2026-01-03T00:00:00Z",
+         "body": b"<html>delta</html>"}], gzip_members=False)
+    with open(d / "c.warc", "wb") as fh:
+        fh.write(b"garbage that is not a warc record\r\n")
+    df = read_warc(spark, str(d))
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {"http://a.example/", "http://b.example/x",
+                         "http://c.example/", "http://d.example/",
+                         f"warc-error://{d}/c.warc"}
+    assert bytes(rows["http://d.example/"]["html"]) == b"<html>delta</html>"
+    assert rows["http://b.example/x"]["n_bytes"] == len(
+        b"%PDF-1.7 fake pdf bytes")
+    assert rows["http://a.example/"]["warc_ts"] is not None
+    assert "WarcError" in bytes(
+        rows[f"warc-error://{d}/c.warc"]["html"]).decode()
+    # file-per-task: the paths frame carries one file per partition
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_pipeline_from_warc_source(spark, tmp_path):
+    """End-to-end: crawl WARC -> run_pipeline (PDF extraction + HTML
+    main-content) with the standard sinks - the full ingest path a
+    Common Crawl job takes."""
+    from livre_spark.pdf.genpdf import build_pdf
+    from livre_spark.plans.job import run_pipeline
+
+    d = tmp_path / "crawl"
+    os.makedirs(d)
+    pdf = build_pdf([b"BT /F1 9 Tf (warc text) Tj ET"], flate=True)
+    write_warc(str(d / "crawl-00000.warc.gz"), [
+        {"url": "http://pdf.example/doc", "body": bytes(pdf)},
+        {"url": "http://html.example/page",
+         "body": b"<html><body><p>long enough paragraph of real "
+                 b"content for the density rule to keep it around."
+                 b"</p></body></html>"},
+    ])
+    out = str(tmp_path / "out")
+    info = run_pipeline(spark, str(d / "*.warc.gz"), out,
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        html_mode="main")
+    text = {r["url"]: r["text"] for r in
+            spark.read.parquet(info["text_path"]).collect()}
+    assert text["http://pdf.example/doc"] == "\nwarc text"
+    assert "long enough paragraph" in text["http://html.example/page"]
