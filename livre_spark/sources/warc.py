@@ -120,13 +120,16 @@ def _parse_warc_date(value: bytes) -> datetime | None:
         return None
 
 
-def iter_warc_records(fh):
-    """Stream (url, warc_ts, body) response records from a WARC file
-    object (plain or gzipped; per-record gzip members read seamlessly).
+def iter_warc_records(fh, record_types: tuple = (b"response",)):
+    """Stream (url, warc_ts, body) records of the given WARC-Types from
+    a WARC file object (plain or gzipped; per-record gzip members read
+    seamlessly).
 
-    Non-response records (warcinfo, request, metadata, ...) are
-    skipped; a record that fails to parse raises WarcError with the
-    stream position context - callers decide containment."""
+    ``response`` payloads are HTTP wire bytes (headers stripped,
+    chunked encoding undone); ``conversion`` payloads (WET extracted
+    text) pass through whole.  Other records (warcinfo, request,
+    metadata, ...) are skipped; a record that fails to parse raises
+    WarcError - callers decide containment."""
     head = fh.peek(2)[:2] if hasattr(fh, "peek") else b""
     if head == b"\x1f\x8b":
         fh = gzip.GzipFile(fileobj=fh)
@@ -142,12 +145,14 @@ def iter_warc_records(fh):
         if len(payload) != length:
             raise WarcError("truncated record payload")
         rtype = headers.get(b"warc-type", b"")
-        if rtype != b"response":
+        if rtype not in record_types:
             continue
         url = headers.get(b"warc-target-uri", b"").decode(
             "latin-1") or None
         ts = _parse_warc_date(headers.get(b"warc-date", b""))
-        yield url, ts, _split_http_response(payload)
+        body = (_split_http_response(payload) if rtype == b"response"
+                else payload)
+        yield url, ts, body
 
 
 def warc_files(source: str) -> list[str]:
@@ -165,9 +170,22 @@ def warc_files(source: str) -> list[str]:
     return paths
 
 
+def read_wet(spark: SparkSession, source: str) -> DataFrame:
+    """WET files (Common Crawl's pre-extracted text sibling:
+    ``conversion`` records with UTF-8 text payloads) -> pages rows with
+    the ``text`` column POPULATED and ``html`` empty - rows that skip
+    extraction and flow straight into the text-analysis operators."""
+    from pyspark.sql import functions as F
+
+    raw = read_warc(spark, source, record_types=(b"conversion",))
+    return (raw.withColumn("text", F.col("html").cast("string"))
+            .withColumn("html", F.lit(None).cast("binary")))
+
+
 def read_warc(spark: SparkSession, source: str,
               text: str | None = None,
-              lang: str | None = None) -> DataFrame:
+              lang: str | None = None,
+              record_types: tuple = (b"response",)) -> DataFrame:
     """WARC file(s)/dir/glob -> the standard pages DataFrame.
 
     One Spark task per file (the WARC parallelism unit - see module
@@ -190,7 +208,8 @@ def read_warc(spark: SparkSession, source: str,
                 try:
                     with open(path, "rb") as fh:
                         bfh = io.BufferedReader(fh)
-                        for url, ts, body in iter_warc_records(bfh):
+                        for url, ts, body in iter_warc_records(
+                                bfh, record_types):
                             rows["url"].append(url)
                             rows["warc_ts"].append(ts)
                             rows["html"].append(body)

@@ -120,3 +120,24 @@ def test_pipeline_from_warc_source(spark, tmp_path):
             spark.read.parquet(info["text_path"]).collect()}
     assert text["http://pdf.example/doc"] == "\nwarc text"
     assert "long enough paragraph" in text["http://html.example/page"]
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    """WET files (conversion records, text payloads) land with text
+    populated and html empty - the skip-extraction ingest path."""
+    from livre_spark.sources.warc import read_wet
+
+    path = str(tmp_path / "f.warc.wet.gz")
+    write_warc(path, [
+        {"url": "http://a.example/", "type": "conversion",
+         "body": "pre-extracted text éè".encode(),
+         "http": False},
+        {"url": "http://skip.example/",
+         "body": b"<html>a response record must be skipped</html>"},
+    ])
+    rows = read_wet(spark, path).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["url"] == "http://a.example/"
+    assert r["text"] == "pre-extracted text éè"
+    assert r["html"] is None
