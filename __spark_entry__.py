@@ -1279,6 +1279,42 @@ def q_webp_real_decode(spark, sf_dir):
 SQL_WEBP_REAL_DECODE = SQL_MULTIMODAL_REAL_DECODE
 
 
+def q_url_normalize(spark, sf_dir):
+    """Crawl-frontier URL canonicalization (functions/urls.py): messy
+    URLs constructed deterministically per doc (mixed case, default
+    and non-default ports, duplicate slashes, fragments) -> canonical
+    spelling + politeness host, pure codegen regexp chain.  The DuckDB
+    twin derives the EXPECTED canonical form independently from the
+    same fields - stronger than mirroring the regex chain."""
+    from livre_spark.functions.urls import host_of, normalize_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    messy = F.concat(
+        F.lit("HTTP://WWW."), F.upper(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("//a//"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?q=1#frag"))
+        .otherwise(F.lit("#s")))
+    return docs.select(
+        "doc_id",
+        normalize_url(messy).alias("url_norm"),
+        host_of(messy).alias("host"))
+
+
+SQL_URL_NORMALIZE = """
+SELECT doc_id,
+       'http://www.' || lower(source) || '.example.com'
+       || CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+       || '/a/' || CAST(doc_id AS VARCHAR)
+       || CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END AS url_norm,
+       'www.' || lower(source) || '.example.com' AS host
+FROM documents
+"""
+
+
 def _pdf_images_batches(batches):
     """Per row: md5-hex raster (8x8 RGB, the nibble-split trick) -> PDF
     with an embedded Flate raster XObject (every 2nd doc ENCRYPTED, so
@@ -1520,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "multimodal_real_decode": q_multimodal_real_decode,
         "webp_real_decode": q_webp_real_decode,
+        "url_normalize": q_url_normalize,
         "pdf_images": q_pdf_images,
         "audio_features": q_audio_features,
     }
@@ -1572,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
         "webp_real_decode": SQL_WEBP_REAL_DECODE,
+        "url_normalize": SQL_URL_NORMALIZE,
         "pdf_images": SQL_PDF_IMAGES,
         "audio_features": SQL_AUDIO_FEATURES,
     }

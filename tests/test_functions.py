@@ -378,3 +378,33 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     written = [os.path.join(dp, f)
                for dp, _, fs in os.walk(ckpt) for f in fs]
     assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
+
+
+def test_normalize_url_semantics(spark):
+    """RFC 3986 canonicalization cases: case folding, default ports,
+    userinfo, fragments, duplicate slashes, empty/bare-query paths,
+    non-http schemes passed through."""
+    import pyspark.sql.functions as F
+
+    from livre_spark.functions.urls import host_of, normalize_url
+
+    cases = {
+        "HTTP://WWW.Example.COM:80//a//b/c#frag":
+            ("http://www.example.com/a/b/c", "www.example.com"),
+        "https://User:pw@Host.Net:443/x?q=1#s":
+            ("https://host.net/x?q=1", "host.net"),
+        "http://h:8080/p": ("http://h:8080/p", "h"),
+        "http://h": ("http://h/", "h"),
+        "http://h?": ("http://h/", "h"),
+        "http://h?q=2": ("http://h/?q=2", "h"),
+        "mailto:a@b.c": ("mailto:a@b.c", ""),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {r["u"]: (r["n"], r["h"]) for r in df.select(
+        "u", normalize_url(F.col("u")).alias("n"),
+        host_of(F.col("u")).alias("h")).collect()}
+    assert got == cases
+    # pure codegen: no python stage in the plan
+    plan = df.select(normalize_url(F.col("u")))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
