@@ -172,7 +172,9 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
                 endian: str = "<", rows_per_strip: int | None = None,
                 bits: int = 8,
                 tile: tuple[int, int] | None = None,
-                fill_order: int = 1) -> bytes:
+                fill_order: int = 1,
+                _base: int = 8, _next_ifd: int = 0,
+                _body_only: bool = False) -> bytes:
     """Strip or tiled TIFF golden writer (8/16-bit gray/RGB/RGBA;
     none/lzw/packbits; optional horizontal-differencing predictor -
     8-bit only, matching the decoder's honest boundary).  16-bit
@@ -304,7 +306,7 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
         e + "I", 8)
     ifd_size = 2 + 12 * len(entries) + 4
     ext = bytearray()
-    ext_base = 8 + ifd_size
+    ext_base = _base + ifd_size
     placed = []
     for tag, typ, count, val in entries:
         placed.append([tag, typ, count, val, None])
@@ -345,5 +347,29 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
             ifd += long_(voff)
         else:
             ifd += (val or b"") + b"\x00" * (4 - len(val or b""))
-    ifd += long_(0)  # no next IFD
-    return header + bytes(ifd) + bytes(ext) + b"".join(strips)
+    ifd += long_(_next_ifd)  # next IFD in the chain (0 = last)
+    body = bytes(ifd) + bytes(ext) + b"".join(strips)
+    return body if _body_only else header + body
+
+
+def encode_tiff_multi(pages: list[dict]) -> bytes:
+    """Multi-page TIFF golden writer: one IFD per page chained via the
+    next-IFD pointer (the scanned/fax-document norm).  ``pages`` holds
+    :func:`encode_tiff` keyword dicts; all pages share one endianness."""
+    if not pages:
+        raise ValueError("no pages")
+    e = pages[0].get("endian", "<")
+    assert all(pg.get("endian", "<") == e for pg in pages)
+    # first pass: body sizes are independent of base/next offsets
+    sizes = [len(encode_tiff(**pg, _body_only=True)) for pg in pages]
+    bases = [8]
+    for sz in sizes[:-1]:
+        bases.append(bases[-1] + sz)
+    header = (b"II*\x00" if e == "<" else b"MM\x00*") + struct.pack(
+        e + "I", 8)
+    bodies = []
+    for i, pg in enumerate(pages):
+        nxt = bases[i] + sizes[i] if i + 1 < len(pages) else 0
+        bodies.append(encode_tiff(**pg, _base=bases[i], _next_ifd=nxt,
+                                  _body_only=True))
+    return header + b"".join(bodies)

@@ -8,14 +8,16 @@ PNG unfilter), **JPEG** (functions/jpeg.py: baseline AND
 progressive/SOF2, Huffman + IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, restart
 markers), **GIF** (functions/gif.py:
 LSB-first LZW, interlace, first frame of animations), **PPM/PGM**
-(binary P6/P5), **BMP** (24-bit uncompressed), **TIFF** (strips, 8/16-bit,
-none/LZW/PackBits, horizontal predictor, either endianness) and **WAV**
-audio (RIFF PCM 8/16-bit; the metadata slots carry sample rate /
-channels) in pure Python - no PIL/libvips in this container.
-Remaining formats (WebP; arithmetic JPEG; tiled TIFF) raise
-``NotImplementedError``, contained into the ``error`` column like every
-other per-row failure - with ``image_dimensions`` still recovering
-header width/height for those rows.  ``fake=True`` keeps the
+(binary P6/P5), **BMP** (24-bit uncompressed), **TIFF** (strips AND
+tiles, 8/16-bit, none/LZW/PackBits/CCITT-fax, horizontal predictor,
+either endianness, multi-page IFD chains via ``decode_tiff_page``),
+**WebP lossless** (VP8L, functions/webp.py) and **WAV** audio (RIFF
+PCM 8/16-bit; the metadata slots carry sample rate / channels) in pure
+Python - no PIL/libvips in this container.  Remaining formats (lossy
+WebP; arithmetic JPEG; JPEG 2000) raise ``NotImplementedError``,
+contained into the ``error`` column like every other per-row failure -
+with ``image_dimensions`` still recovering header width/height for
+those rows.  ``fake=True`` keeps the
 deterministic raw-byte-histogram path used by the DuckDB oracle twin
 (SQL can mirror byte histograms, not inflate).
 """
@@ -294,8 +296,10 @@ def _packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _tiff_tags(buf: bytes) -> dict[int, list[int]]:
-    """First-IFD tag table (integer-typed tags only)."""
+def _tiff_ifd_offsets(buf: bytes, max_pages: int = 1024) -> list[int]:
+    """All IFD offsets following the next-IFD chain (cycle-guarded);
+    one IFD per page - scanned/fax documents are routinely
+    multi-page."""
     if buf[:4] == b"II*\x00":
         e = "<"
     elif buf[:4] == b"MM\x00*":
@@ -304,9 +308,42 @@ def _tiff_tags(buf: bytes) -> dict[int, list[int]]:
         raise ImageDecodeError("bad TIFF signature")
     if len(buf) < 8:
         raise ImageDecodeError("truncated TIFF header")
-    (ifd_off,) = struct.unpack_from(e + "I", buf, 4)
-    if ifd_off + 2 > len(buf):
+    offs: list[int] = []
+    seen: set[int] = set()
+    (off,) = struct.unpack_from(e + "I", buf, 4)
+    while off and off not in seen and len(offs) < max_pages:
+        if off + 2 > len(buf):
+            raise ImageDecodeError("truncated IFD")
+        seen.add(off)
+        offs.append(off)
+        (n_tags,) = struct.unpack_from(e + "H", buf, off)
+        nxt = off + 2 + 12 * n_tags
+        if nxt + 4 > len(buf):
+            break  # no room for a next pointer: chain ends here
+        (off,) = struct.unpack_from(e + "I", buf, nxt)
+    if not offs:
         raise ImageDecodeError("truncated IFD")
+    return offs
+
+
+def tiff_page_count(buf: bytes) -> int:
+    """Number of pages (IFDs) in a TIFF file."""
+    return len(_tiff_ifd_offsets(buf))
+
+
+def decode_tiff_page(buf: bytes, page: int) -> tuple[int, int, bytes]:
+    """Decode one page of a multi-page TIFF (the scanned/fax-document
+    norm: one IFD per page); page 0 equals the ``decode_image`` path."""
+    return _decode_tiff(buf, page)
+
+
+def _tiff_tags(buf: bytes, page: int = 0) -> dict[int, list[int]]:
+    """One page's IFD tag table (integer-typed tags only)."""
+    e = "<" if buf[:2] == b"II" else ">"
+    offs = _tiff_ifd_offsets(buf)
+    if not 0 <= page < len(offs):
+        raise ImageDecodeError(f"TIFF page {page} of {len(offs)}")
+    ifd_off = offs[page]
     (n_tags,) = struct.unpack_from(e + "H", buf, ifd_off)
     tags: dict[int, list[int]] = {}
     sizes = {1: 1, 2: 1, 3: 2, 4: 4}
@@ -405,8 +442,10 @@ def _decode_tiff_fax(buf: bytes, tags: dict, one,
     return width, height, bytes(out)
 
 
-def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
-    """Baseline + tiled TIFF: little/big-endian, first IFD, strip
+def _decode_tiff(buf: bytes, page: int = 0) -> tuple[int, int, bytes]:
+    """Baseline + tiled TIFF: little/big-endian, any page of the IFD
+    chain (``decode_tiff_page``/``tiff_page_count`` expose the
+    multi-page surface - scanned/fax documents' standard shape), strip
     (273/279) or tile (322-325) layout; compression none(1) / LZW(5,
     the MSB-first variant shared with PDF LZWDecode incl. its
     EarlyChange width rule) / PackBits(32773); horizontal-differencing
@@ -415,7 +454,7 @@ def _decode_tiff(buf: bytes) -> tuple[int, int, bytes]:
     layout stay honest NotImplementedError boundaries."""
     from ..pdf.filters import apply_predictor
 
-    tags = _tiff_tags(buf)
+    tags = _tiff_tags(buf, page)
 
     def one(tag, default=None):
         v = tags.get(tag)

@@ -847,3 +847,34 @@ def test_tiff_fax_fillorder2():
     buf1 = encode_tiff(16, 9, img, compression="ccitt-g4")
     assert buf != buf1  # the coded bytes really are reversed
     assert decode_image(buf) == decode_image(buf1)
+
+
+def test_tiff_multi_page():
+    """Multi-page TIFF (IFD chain): each page decodes independently,
+    mixed layouts/compressions per page, page 0 = the decode_image
+    path; out-of-range pages and truncated chains are contained."""
+    from livre_spark.functions.genimg import encode_tiff_multi
+    from livre_spark.functions.multimodal import (
+        decode_tiff_page, tiff_page_count,
+    )
+
+    pages = [
+        dict(width=9, height=7, pixels=_gradient(9 * 7 * 3),
+             compression="lzw", predictor=2),
+        dict(width=16, height=9, pixels=_gradient(16 * 9 * 3),
+             compression="packbits", tile=(8, 4)),
+        dict(width=12, height=4, pixels=_gradient(12 * 4), spp=1),
+        dict(width=16, height=9, pixels=b"\xf0\x0f" * 9,
+             compression="ccitt-g4"),
+    ]
+    buf = encode_tiff_multi(pages)
+    assert tiff_page_count(buf) == 4
+    for i in (0, 1, 2):
+        w, h, samples = decode_tiff_page(buf, i)
+        assert (w, h) == (pages[i]["width"], pages[i]["height"])
+        assert samples == pages[i]["pixels"]
+    w, h, fax = decode_tiff_page(buf, 3)
+    assert (w, h) == (16, 9) and set(fax) == {0, 255}
+    assert decode_image(buf)[:2] == (9, 7)  # page 0 via the dispatch
+    with pytest.raises(ImageDecodeError):
+        decode_tiff_page(buf, 4)
