@@ -130,18 +130,25 @@ def iter_warc_records(fh, record_types: tuple = (b"response",)):
     text) pass through whole.  Other records (warcinfo, request,
     metadata, ...) are skipped; a record that fails to parse raises
     WarcError - callers decide containment."""
+    import zlib
+
     head = fh.peek(2)[:2] if hasattr(fh, "peek") else b""
     if head == b"\x1f\x8b":
         fh = gzip.GzipFile(fileobj=fh)
     while True:
-        headers = _read_headers(fh)
-        if headers is None:
-            return
         try:
-            length = int(headers.get(b"content-length", b""))
-        except ValueError as exc:
-            raise WarcError("missing/bad Content-Length") from exc
-        payload = fh.read(length)
+            headers = _read_headers(fh)
+            if headers is None:
+                return
+            try:
+                length = int(headers.get(b"content-length", b""))
+            except ValueError as exc:
+                raise WarcError("missing/bad Content-Length") from exc
+            payload = fh.read(length)
+        except zlib.error as exc:
+            # corrupted gzip member: surface as the module's own error
+            # so callers' containment (read_warc) catches ONE family
+            raise WarcError(f"corrupt gzip member: {exc}") from exc
         if len(payload) != length:
             raise WarcError("truncated record payload")
         rtype = headers.get(b"warc-type", b"")

@@ -141,3 +141,23 @@ def test_read_wet_conversion_records(spark, tmp_path):
     assert r["url"] == "http://a.example/"
     assert r["text"] == "pre-extracted text éè"
     assert r["html"] is None
+
+
+def test_corrupt_gzip_member_is_warc_error(tmp_path):
+    """zlib errors from damaged gzip members surface as WarcError -
+    read_warc's per-file containment catches exactly one family."""
+    import random
+
+    path = str(tmp_path / "f.warc.gz")
+    write_warc(path, [{"url": "http://x/", "body": b"<html>ok</html>"}] * 3)
+    valid = open(path, "rb").read()
+    rng = random.Random(7)
+    seen_error = False
+    for _ in range(300):
+        b = bytearray(valid)
+        b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        try:
+            list(iter_warc_records(io.BufferedReader(io.BytesIO(bytes(b)))))
+        except (WarcError, EOFError, OSError):
+            seen_error = True
+    assert seen_error  # flips do corrupt; they just stay contained
