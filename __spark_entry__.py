@@ -504,9 +504,13 @@ FROM sh
 """
 
 
+_MH_LSH_MAX_BUCKET = 50  # hot-bucket cap (see dedup.minhash_lsh_pairs)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, n_hashes=4, bands=2, k=3)
+    return dd.minhash_lsh_pairs(docs, n_hashes=4, bands=2, k=3,
+                                max_bucket=_MH_LSH_MAX_BUCKET)
 
 
 SQL_DEDUP_MINHASH_LSH = f"""
@@ -520,9 +524,16 @@ buckets AS (
   UNION ALL
   SELECT id, 1 AS band,
          md5(CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR)) AS bucket
-  FROM sig)
+  FROM sig),
+hot AS (
+  SELECT band, bucket FROM buckets
+  GROUP BY band, bucket HAVING count(*) > {_MH_LSH_MAX_BUCKET}),
+bc AS (
+  SELECT b.* FROM buckets b LEFT JOIN hot h
+    ON b.band = h.band AND b.bucket = h.bucket
+  WHERE h.band IS NULL)
 SELECT DISTINCT l.id AS id_a, r.id AS id_b
-FROM buckets l JOIN buckets r
+FROM bc l JOIN bc r
   ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 """
 
@@ -1420,7 +1431,8 @@ def q_dedup_components(spark, sf_dir):
     that turns pairwise candidates into keep-one-per-cluster decisions.
     Oracle: DuckDB recursive CTE computing min reachable id."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, n_hashes=4, bands=2, k=3)
+    pairs = dd.minhash_lsh_pairs(docs, n_hashes=4, bands=2, k=3,
+                                 max_bucket=_MH_LSH_MAX_BUCKET)
     return (dd.connected_components(pairs)
             .select(F.col("node").alias("doc_id"), "component"))
 

@@ -138,12 +138,28 @@ def _mh(s: Column, i: int, hash_fn: str = "md5") -> Column:
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 8,
                       bands: int = 4, k: int = 3,
+                      max_bucket: int | None = None,
                       hash_fn: str = "md5") -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of any band become a pair.
 
     Scale shape: one narrow shuffle keyed on (band, hash-of-band-rows);
     bucket sizes are the skew risk, so the band hash includes every row of
     the band (rows_per_band = n_hashes // bands).
+
+    ``max_bucket``: drop (band, bucket) buckets holding more than
+    ``max_bucket`` ids before the self-join.  Real crawls are
+    boilerplate-skewed - error pages and parked domains put millions of
+    near-identical docs into ONE band bucket, and the uncapped self-join
+    materializes bucket_size^2 candidate rows (quadratic blowup at
+    10^9 docs).  The cap bounds the hottest bucket at max_bucket^2
+    pairs.  Recall statement: a pair is missed only if EVERY band it
+    agrees on is hot, so reported pairs are a deterministic subset -
+    the same lower-bound trade as ``simhash_hamming_pairs(max_bucket=)``
+    and ``ngram_jaccard_pairs(max_df=)``.  The hot list (count > cap)
+    is tiny by construction, so the exclusion is a broadcast anti-join,
+    not an extra shuffle.  Mega-buckets dropped here are exact-dup
+    cliques anyway - route them through ``exact_duplicate_groups``,
+    which handles them in linear time.
     """
     rows_per = n_hashes // bands
     sigs = minhash_signature_df(df, text_col, id_col, n_hashes, k,
@@ -161,6 +177,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                .select("id", F.explode(F.array(*band_structs)).alias("bb"))
                .select("id", F.col("bb.band").alias("band"),
                        F.col("bb.bucket").alias("bucket")))
+    if max_bucket is not None:
+        hot = (buckets.groupBy("band", "bucket")
+               .agg(F.count("*").alias("n_ids"))
+               .filter(F.col("n_ids") > max_bucket)
+               .select("band", "bucket"))
+        buckets = buckets.join(F.broadcast(hot), ["band", "bucket"],
+                               "left_anti")
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (left.join(right, [F.col("l.band") == F.col("r.band"),

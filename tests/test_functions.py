@@ -408,3 +408,36 @@ def test_normalize_url_semantics(spark):
     plan = df.select(normalize_url(F.col("u")))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_minhash_lsh_hot_bucket_cap_both_engines(spark):
+    """A synthetic hot bucket (60 identical docs > max_bucket=50) is
+    dropped IDENTICALLY by the Spark operator and the registered DuckDB
+    oracle, while cold-bucket near-dup pairs survive on both."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    rows = [(i, "parked domain error page boilerplate text repeated")
+            for i in range(100, 160)]                      # 60-doc hot clique
+    rows += [(0, "the quick brown fox jumps over the lazy dog"),
+             (1, "the quick brown fox jumps over the lazy dog"),
+             (2, "completely different text with no overlap here at all")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got_spark = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_pairs(
+        df, n_hashes=4, bands=2, k=3,
+        max_bucket=em._MH_LSH_MAX_BUCKET).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got_duck = {(a, b) for a, b in
+                con.execute(em.SQL_DEDUP_MINHASH_LSH).fetchall()}
+
+    assert got_spark == got_duck
+    assert (0, 1) in got_spark                 # cold pair survives
+    assert not any(a >= 100 for a, b in got_spark)  # hot clique dropped
+    # uncapped control: the clique would contribute 60*59/2 pairs
+    uncapped = dd.minhash_lsh_pairs(df, n_hashes=4, bands=2, k=3).count()
+    assert uncapped >= 60 * 59 // 2
