@@ -8,6 +8,9 @@ the pipeline code is storage-agnostic.
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BinaryType, StringType, StructField, StructType, TimestampType,
@@ -23,6 +26,23 @@ PAGES_SCHEMA = StructType([
 ])
 
 
+def _is_warc_source(source: str) -> bool:
+    """True only when the BASENAME says WARC: a ``.warc``/``.warc.gz``
+    file, a glob whose basename targets them, or a directory holding
+    them.  A substring test on the whole path misroutes Iceberg table
+    names like ``crawl.warc_index`` (or any parquet path containing
+    '.warc') to the file reader."""
+    base = os.path.basename(source.rstrip("/"))
+    if base.endswith((".warc", ".warc.gz")):
+        return True
+    if any(c in base for c in "*?[") and ".warc" in base:
+        return True
+    if os.path.isdir(source):
+        return bool(_glob.glob(os.path.join(source, "*.warc"))
+                    or _glob.glob(os.path.join(source, "*.warc.gz")))
+    return False
+
+
 def read_pages(spark: SparkSession, source: str) -> DataFrame:
     """Read the Common-Crawl-style pages table.
 
@@ -32,7 +52,7 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     file).  Column pruning / predicate pushdown happen downstream via
     Catalyst for the table paths.
     """
-    if ".warc" in source:
+    if _is_warc_source(source):
         from .warc import read_warc
 
         return read_warc(spark, source)

@@ -177,14 +177,17 @@ def warc_files(source: str) -> list[str]:
     return paths
 
 
-def read_wet(spark: SparkSession, source: str) -> DataFrame:
+def read_wet(spark: SparkSession, source: str,
+             chunk_bytes: int = 64 << 20,
+             chunk_records: int = 10_000) -> DataFrame:
     """WET files (Common Crawl's pre-extracted text sibling:
     ``conversion`` records with UTF-8 text payloads) -> pages rows with
     the ``text`` column POPULATED and ``html`` empty - rows that skip
     extraction and flow straight into the text-analysis operators."""
     from pyspark.sql import functions as F
 
-    raw = read_warc(spark, source, record_types=(b"conversion",))
+    raw = read_warc(spark, source, record_types=(b"conversion",),
+                    chunk_bytes=chunk_bytes, chunk_records=chunk_records)
     return (raw.withColumn("text", F.col("html").cast("string"))
             .withColumn("html", F.lit(None).cast("binary")))
 
@@ -192,15 +195,22 @@ def read_wet(spark: SparkSession, source: str) -> DataFrame:
 def read_warc(spark: SparkSession, source: str,
               text: str | None = None,
               lang: str | None = None,
-              record_types: tuple = (b"response",)) -> DataFrame:
+              record_types: tuple = (b"response",),
+              chunk_bytes: int = 64 << 20,
+              chunk_records: int = 10_000) -> DataFrame:
     """WARC file(s)/dir/glob -> the standard pages DataFrame.
 
     One Spark task per file (the WARC parallelism unit - see module
     docstring); records stream through ``iter_warc_records`` inside the
-    task, so peak memory is one record, not one file.  A file that
-    fails to parse yields a single diagnostic row (url =
-    ``warc-error://<path>``, html carries the message) - containment,
-    not job death, at crawl scale."""
+    task and are flushed as a pandas batch every ``chunk_bytes`` of
+    payload or ``chunk_records`` rows, whichever first - so peak task
+    memory is one CHUNK (~64 MB default), never one file.  A 1 GB gzip
+    Common-Crawl WARC decompresses to ~4-5 GB; without the bound, 32
+    concurrent tasks each holding a whole file is an executor OOM at
+    exactly the scale this reader exists for.  A file that fails to
+    parse emits a diagnostic row (url = ``warc-error://<path>``, html
+    carries the message) after any records already parsed -
+    containment, not job death, at crawl scale."""
     import pandas as pd
 
     paths = warc_files(source)
@@ -210,30 +220,47 @@ def read_warc(spark: SparkSession, source: str,
     def parse(pdfs):
         for pdf in pdfs:
             for path in pdf["path"]:
-                rows = {k: [] for k in ("url", "warc_ts", "html",
-                                        "text", "lang", "n_bytes")}
-                try:
-                    with open(path, "rb") as fh:
-                        bfh = io.BufferedReader(fh)
-                        for url, ts, body in iter_warc_records(
-                                bfh, record_types):
-                            rows["url"].append(url)
-                            rows["warc_ts"].append(ts)
-                            rows["html"].append(body)
-                            rows["text"].append(text)
-                            rows["lang"].append(lang)
-                            rows["n_bytes"].append(len(body))
-                except (OSError, WarcError, EOFError) as exc:
-                    rows["url"].append(f"warc-error://{path}")
-                    rows["warc_ts"].append(None)
-                    rows["html"].append(
-                        f"{type(exc).__name__}: {exc}".encode())
-                    rows["text"].append(None)
-                    rows["lang"].append(None)
-                    rows["n_bytes"].append(0)
-                yield pd.DataFrame(rows)
+                yield from iter_warc_batches(
+                    path, text=text, lang=lang, record_types=record_types,
+                    chunk_bytes=chunk_bytes, chunk_records=chunk_records)
 
     return paths_df.mapInPandas(parse, WARC_PAGES_SCHEMA)
+
+
+_WARC_COLS = ("url", "warc_ts", "html", "text", "lang", "n_bytes")
+
+
+def iter_warc_batches(path: str, text: str | None = None,
+                      lang: str | None = None,
+                      record_types: tuple = (b"response",),
+                      chunk_bytes: int = 64 << 20,
+                      chunk_records: int = 10_000):
+    """One WARC file -> pandas DataFrames of at most ``chunk_records``
+    rows / ~``chunk_bytes`` payload each (the ``read_warc`` task body,
+    module-level so the memory bound is directly testable).  A parse
+    failure emits a ``warc-error://`` diagnostic row after any records
+    already parsed, then stops the file."""
+    import pandas as pd
+
+    def file_rows():
+        try:
+            with open(path, "rb") as fh:
+                bfh = io.BufferedReader(fh)
+                for url, ts, body in iter_warc_records(bfh, record_types):
+                    yield url, ts, body, text, lang, len(body)
+        except (OSError, WarcError, EOFError) as exc:
+            yield (f"warc-error://{path}", None,
+                   f"{type(exc).__name__}: {exc}".encode(), None, None, 0)
+
+    buf, payload = [], 0
+    for row in file_rows():
+        buf.append(row)
+        payload += row[5]
+        if len(buf) >= chunk_records or payload >= chunk_bytes:
+            yield pd.DataFrame(buf, columns=_WARC_COLS)
+            buf, payload = [], 0
+    if buf:
+        yield pd.DataFrame(buf, columns=_WARC_COLS)
 
 
 def write_warc(path: str, records: list[dict],

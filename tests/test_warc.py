@@ -161,3 +161,79 @@ def test_corrupt_gzip_member_is_warc_error(tmp_path):
         except (WarcError, EOFError, OSError):
             seen_error = True
     assert seen_error  # flips do corrupt; they just stay contained
+
+
+def test_chunked_batches_bound_task_memory(tmp_path):
+    """A multi-record file yields MULTIPLE pandas batches under a small
+    chunk budget (the read_warc memory contract: peak = one chunk, not
+    one file), and the concatenation equals the unchunked rows."""
+    import pandas as pd
+
+    from livre_spark.sources.warc import iter_warc_batches
+
+    path = str(tmp_path / "f.warc.gz")
+    recs = [{"url": f"http://r{i}.example/", "body": b"x" * 100}
+            for i in range(7)]
+    write_warc(path, recs)
+
+    by_records = list(iter_warc_batches(path, chunk_records=2))
+    assert [len(b) for b in by_records] == [2, 2, 2, 1]
+    by_bytes = list(iter_warc_batches(path, chunk_bytes=250))
+    assert len(by_bytes) == 3 and [len(b) for b in by_bytes] == [3, 3, 1]
+    whole = list(iter_warc_batches(path))
+    assert len(whole) == 1
+    got = pd.concat(by_records, ignore_index=True)
+    exp = whole[0]
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert got["n_bytes"].tolist() == exp["n_bytes"].tolist()
+
+
+def test_chunked_error_row_after_partial_records(tmp_path):
+    """A file that goes bad mid-stream still yields the records parsed
+    before the failure, then one diagnostic row, under chunking."""
+    from livre_spark.sources.warc import iter_warc_batches
+
+    path = str(tmp_path / "f.warc")
+    write_warc(path, [{"url": "http://ok.example/", "body": b"fine"}],
+               gzip_members=False)
+    with open(path, "ab") as fh:
+        fh.write(b"NOT A WARC RECORD\r\n")
+    import pandas as pd
+    rows = pd.concat(list(iter_warc_batches(path, chunk_records=1)),
+                     ignore_index=True)
+    assert rows["url"].tolist() == ["http://ok.example/",
+                                    f"warc-error://{path}"]
+
+
+def test_empty_source_is_clear_warc_error(spark, tmp_path):
+    """No matching files -> a clear WarcError naming the source, not an
+    opaque Spark repartition(0) failure."""
+    d = tmp_path / "empty"
+    os.makedirs(d)
+    with pytest.raises(WarcError, match="no WARC files"):
+        read_warc(spark, str(d / "*.warc.gz"))
+
+
+def test_read_pages_routing(spark, tmp_path):
+    """read_pages routes on basename/extension: '.warc' inside a
+    parquet path or an Iceberg-ish table name must NOT hit the WARC
+    file reader."""
+    from livre_spark.sources import _is_warc_source
+
+    assert _is_warc_source("/data/crawl-0.warc")
+    assert _is_warc_source("/data/crawl-0.warc.gz")
+    assert _is_warc_source("/data/crawl/*.warc.gz")
+    assert not _is_warc_source("crawl.warc_index")        # Iceberg table
+    assert not _is_warc_source("/data/x.warc_backup/part-0.parquet")
+    # directory of warcs routes; directory of parquet does not
+    d = tmp_path / "crawl"
+    os.makedirs(d)
+    write_warc(str(d / "a.warc.gz"),
+               [{"url": "http://a.example/", "body": b"<html>a</html>"}])
+    assert _is_warc_source(str(d))
+    from livre_spark.sources import read_pages
+    assert read_pages(spark, str(d)).count() == 1
+    p = tmp_path / "pages.warc_style"   # '.warc' in path, parquet inside
+    spark.range(3).write.parquet(str(p))
+    assert not _is_warc_source(str(p))
+    assert read_pages(spark, str(p)).count() == 3
