@@ -1307,7 +1307,10 @@ def q_url_normalize(spark, sf_dir):
         .when(F.col("doc_id") % 3 == 1, F.lit(":8080"))
         .otherwise(F.lit("")),
         F.lit("//a//"), F.col("doc_id").cast("string"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("?q=1#frag"))
+        # doc_id%4==1: slashed QUERY - opaque per RFC 3986, must NOT be
+        # collapsed (the round-5 blind spot this case now exercises)
+        F.when(F.col("doc_id") % 4 == 1, F.lit("?next=https://x//y#f"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("?q=1#frag"))
         .otherwise(F.lit("#s")))
     return docs.select(
         "doc_id",
@@ -1320,7 +1323,8 @@ SELECT doc_id,
        'http://www.' || lower(source) || '.example.com'
        || CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
        || '/a/' || CAST(doc_id AS VARCHAR)
-       || CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END AS url_norm,
+       || CASE WHEN doc_id % 4 = 1 THEN '?next=https://x//y'
+               WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END AS url_norm,
        'www.' || lower(source) || '.example.com' AS host
 FROM documents
 """

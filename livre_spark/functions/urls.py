@@ -38,7 +38,9 @@ def normalize_url(url: Column) -> Column:
     - default ports stripped (``:80`` for http, ``:443`` for https,
       plus the degenerate bare ``:``);
     - fragment removed;
-    - duplicate slashes in the path collapsed, empty path -> ``/``;
+    - duplicate slashes in the PATH collapsed (the query string is
+      opaque per RFC 3986 - ``?next=https://a//b`` keeps its slashes),
+      empty path -> ``/``;
     - a trailing bare ``?`` removed.
 
     Rows without a ``scheme://`` prefix pass through unchanged (a
@@ -57,11 +59,12 @@ def normalize_url(url: Column) -> Column:
     rest = F.regexp_replace(
         F.regexp_replace(url, r"#.*$", ""),            # fragment
         _SCHEME_RE + r"[^/?#]*", "")                   # scheme+authority
-    path_q = F.regexp_replace(rest, r"/{2,}", "/")     # dup slashes
-    path_q = F.regexp_replace(path_q, r"\?$", "")      # bare '?'
-    path_q = F.when(path_q == "", F.lit("/")) \
-        .when(path_q.startswith("?"),
-              F.concat(F.lit("/"), path_q)) \
-        .otherwise(path_q)
-    out = F.concat(scheme, F.lit("://"), hostport, path_q)
+    # split at the FIRST '?': the query is opaque (RFC 3986), only the
+    # path gets the duplicate-slash collapse
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.regexp_extract(rest, r"(\?.*)$", 1)
+    path = F.regexp_replace(path, r"/{2,}", "/")       # dup slashes
+    query = F.regexp_replace(query, r"^\?$", "")       # bare '?'
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    out = F.concat(scheme, F.lit("://"), hostport, path, query)
     return F.when(scheme == "", url).otherwise(out)

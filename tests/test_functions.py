@@ -397,6 +397,11 @@ def test_normalize_url_semantics(spark):
         "http://h": ("http://h/", "h"),
         "http://h?": ("http://h/", "h"),
         "http://h?q=2": ("http://h/?q=2", "h"),
+        # query string is OPAQUE: slashes inside it survive
+        "http://h//a//b?next=https://a//b":
+            ("http://h/a/b?next=https://a//b", "h"),
+        "http://h/a?redirect=http://x":
+            ("http://h/a?redirect=http://x", "h"),
         "mailto:a@b.c": ("mailto:a@b.c", ""),
     }
     df = spark.createDataFrame([(u,) for u in cases], "u string")
