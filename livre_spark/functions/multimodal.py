@@ -442,7 +442,8 @@ def _decode_tiff_fax(buf: bytes, tags: dict, one,
     return width, height, bytes(out)
 
 
-def _decode_tiff(buf: bytes, page: int = 0) -> tuple[int, int, bytes]:
+def _decode_tiff(buf: bytes, page: int = 0,
+                 max_pixels: int = 1 << 26) -> tuple[int, int, bytes]:
     """Baseline + tiled TIFF: little/big-endian, any page of the IFD
     chain (``decode_tiff_page``/``tiff_page_count`` expose the
     multi-page surface - scanned/fax documents' standard shape), strip
@@ -464,6 +465,16 @@ def _decode_tiff(buf: bytes, page: int = 0) -> tuple[int, int, bytes]:
             return default
         return v[0]
     width, height = one(256), one(257)
+    if width < 1 or height < 1:
+        raise ImageDecodeError("bad TIFF dimensions")
+    if width * height > max_pixels:
+        # decompression-bomb guard (same rule as decode_ccitt /
+        # decode_vp8l): dims come straight from attacker-controlled
+        # header tags, and the tile path preallocates the full raster -
+        # a hostile 65536x65536 header would be a multi-GB allocation
+        # before any pixel data is validated
+        raise ImageDecodeError(
+            f"TIFF {width}x{height} exceeds max_pixels bound")
     spp = one(277, 1)
     bits = tags.get(258) or [8] * spp
     compression = one(259, 1)

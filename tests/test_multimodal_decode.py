@@ -878,3 +878,28 @@ def test_tiff_multi_page():
     assert decode_image(buf)[:2] == (9, 7)  # page 0 via the dispatch
     with pytest.raises(ImageDecodeError):
         decode_tiff_page(buf, 4)
+
+
+def test_tiff_dimension_bomb_guard():
+    """A tiny hostile TIFF declaring 65536x65536 must be rejected BEFORE
+    the raster buffer is allocated (same max_pixels rule as
+    decode_ccitt / decode_vp8l) - not spike a multi-GB bytearray."""
+    import struct
+
+    from livre_spark.functions.multimodal import _decode_tiff
+
+    def ifd_entry(tag, value):
+        return struct.pack("<HHI I", tag, 4, 1, value)
+
+    hostile = (b"II*\x00" + struct.pack("<I", 8)
+               + struct.pack("<H", 2)
+               + ifd_entry(256, 65536) + ifd_entry(257, 65536)
+               + struct.pack("<I", 0))
+    with pytest.raises(ImageDecodeError, match="max_pixels"):
+        _decode_tiff(hostile)
+    zero = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 2)
+            + ifd_entry(256, 0) + ifd_entry(257, 4)
+            + struct.pack("<I", 0))
+    with pytest.raises(ImageDecodeError, match="bad TIFF dimensions"):
+        _decode_tiff(zero)
