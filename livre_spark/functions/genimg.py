@@ -173,6 +173,7 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
                 bits: int = 8,
                 tile: tuple[int, int] | None = None,
                 fill_order: int = 1,
+                planar: bool = False,
                 _base: int = 8, _next_ifd: int = 0,
                 _body_only: bool = False) -> bytes:
     """Strip or tiled TIFF golden writer (8/16-bit gray/RGB/RGBA;
@@ -180,11 +181,16 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
     8-bit only, matching the decoder's honest boundary).  16-bit
     ``pixels`` are native-``endian`` two-byte samples.  ``tile=(tw,
     th)`` writes tags 322-325 instead of the strip layout, edge tiles
-    zero-padded to full size per the TIFF 6.0 spec."""
+    zero-padded to full size per the TIFF 6.0 spec.  ``planar`` writes
+    PlanarConfiguration=2: ``pixels`` stay interleaved at the API, the
+    writer splits them into per-component planes with the strip list
+    plane-major (all of plane 0's strips first), per TIFF 6.0."""
     from ..pdf.filters import lzw_encode
 
     fax = compression in ("ccitt-mh", "ccitt-g3", "ccitt-g3-2d",
                           "ccitt-g4")
+    if planar:
+        assert tile is None and not fax, "planar is strip-layout only"
     if fax:
         # bilevel fax: ``pixels`` are packed 1-bpp rows (MSB first,
         # byte-padded, 1 = white), spp forced to 1
@@ -258,6 +264,26 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
                     .reshape(-1, 1), axis=1,
                     bitorder="little")).tobytes()
             strips.append(coded)
+    elif planar:
+        import numpy as np
+
+        arr = (np.frombuffer(pixels, np.uint8)
+               .reshape(height, width, spp, sb))
+        plane_rb = width * sb
+        for s in range(spp):
+            plane = arr[:, :, s, :].tobytes()
+            for y0 in range(0, height, rows_per_strip):
+                rows = plane[y0 * plane_rb :
+                             (y0 + min(rows_per_strip,
+                                       height - y0)) * plane_rb]
+                if predictor == 2:
+                    enc = bytearray(rows)
+                    for r in range(0, len(enc), plane_rb):
+                        for i in range(plane_rb - 1, 0, -1):
+                            enc[r + i] = (enc[r + i]
+                                          - enc[r + i - 1]) & 0xFF
+                    rows = bytes(enc)
+                strips.append(_compress(rows))
     else:
         for y0 in range(0, height, rows_per_strip):
             rows = pixels[y0 * row_bytes :
@@ -281,6 +307,8 @@ def encode_tiff(width: int, height: int, pixels: bytes, spp: int = 3,
     entries.append((262, 3, 1, short(0 if fax
                                      else (1 if spp == 1 else 2))))
     entries.append((277, 3, 1, short(spp)))
+    if planar:
+        entries.append((284, 3, 1, short(2)))
     if comp_code == 3:
         entries.append((292, 4, 1, long_(
             1 if compression == "ccitt-g3-2d" else 0)))

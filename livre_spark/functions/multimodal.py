@@ -451,8 +451,10 @@ def _decode_tiff(buf: bytes, page: int = 0,
     the MSB-first variant shared with PDF LZWDecode incl. its
     EarlyChange width rule) / PackBits(32773); horizontal-differencing
     predictor 2 via the shared pdf.filters predictor (per strip/tile
-    row); 8/16-bit gray or RGB(A).  Exotic photometrics and planar
-    layout stay honest NotImplementedError boundaries."""
+    row); 8/16-bit gray or RGB(A); chunky (284=1) or planar (284=2,
+    strip layout - separate component planes interleaved after
+    decode).  Exotic photometrics and planar tiles stay honest
+    NotImplementedError boundaries."""
     from ..pdf.filters import apply_predictor
 
     tags = _tiff_tags(buf, page)
@@ -488,8 +490,11 @@ def _decode_tiff(buf: bytes, page: int = 0,
         raise NotImplementedError(f"TIFF bit depths {bits}")
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"TIFF {spp} samples/pixel")
-    if one(284, 1) != 1:
-        raise NotImplementedError("planar TIFF")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar config {planar}")
+    if planar == 2 and (322 in tags or 323 in tags):
+        raise NotImplementedError("planar tiled TIFF")
     # PhotometricInterpretation: 0 WhiteIsZero (fax/scanner gray,
     # inverted below), 1 BlackIsZero, 2 RGB; palette(3)/CMYK(5)/YCbCr(6)
     # etc. stay honest boundaries
@@ -540,6 +545,45 @@ def _decode_tiff(buf: bytes, page: int = 0,
                 dst = (ty * tile_h + r) * row_bytes + x_byte
                 src = r * tile_row_bytes
                 out[dst : dst + vis_bytes] = tile[src : src + vis_bytes]
+    elif planar == 2:
+        # PlanarConfiguration=2: separate component planes, strip list
+        # plane-major (all of plane 0's strips, then plane 1's, ...);
+        # each plane decodes like a 1-sample image, then interleaves
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ImageDecodeError("missing strip layout")
+        rows_per_strip = one(278, height)
+        if rows_per_strip < 1:
+            raise ImageDecodeError("bad rows per strip")
+        per_plane = (height + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) != spp * per_plane:
+            raise ImageDecodeError("planar strip count mismatch")
+        plane_row_bytes = width * sample_bytes
+        planes = []
+        for s in range(spp):
+            plane = bytearray()
+            for si in range(per_plane):
+                soff = offsets[s * per_plane + si]
+                scnt = counts[s * per_plane + si]
+                raw = buf[soff : soff + scnt]
+                if len(raw) != scnt:
+                    raise ImageDecodeError("truncated strip")
+                strip = _tiff_decompress(raw, compression)
+                n_rows = min(rows_per_strip,
+                             height - si * rows_per_strip)
+                if len(strip) < n_rows * plane_row_bytes:
+                    raise ImageDecodeError("short strip")
+                strip = strip[: n_rows * plane_row_bytes]
+                if predictor == 2:
+                    strip = apply_predictor(strip, 2, colors=1, bpc=8,
+                                            columns=width)
+                plane += strip
+            planes.append(plane)
+        out = np.stack(
+            [np.frombuffer(bytes(p), np.uint8)
+             .reshape(height, width, sample_bytes) for p in planes],
+            axis=2).tobytes()
     else:
         offsets = tags.get(273)
         counts = tags.get(279)

@@ -903,3 +903,60 @@ def test_tiff_dimension_bomb_guard():
             + struct.pack("<I", 0))
     with pytest.raises(ImageDecodeError, match="bad TIFF dimensions"):
         _decode_tiff(zero)
+
+
+@pytest.mark.parametrize("spp, comp, pred, endian", [
+    (3, "none", 1, "<"), (3, "lzw", 1, ">"), (3, "lzw", 2, "<"),
+    (4, "packbits", 1, "<"), (4, "none", 2, ">"),
+])
+def test_tiff_planar_golden(spp, comp, pred, endian):
+    """PlanarConfiguration=2 strip TIFF: separate component planes,
+    plane-major strip list, per-plane predictor - pixels equal the
+    chunky layout's."""
+    from livre_spark.functions.genimg import encode_tiff
+    w, h = 13, 9
+    px = _gradient(w * h * spp)
+    buf = encode_tiff(w, h, px, spp=spp, compression=comp,
+                      predictor=pred, endian=endian, planar=True,
+                      rows_per_strip=4)
+    gw, gh, feats = decode_image(buf)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(px)
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+def test_tiff_planar_16bit(endian):
+    import struct as _s
+
+    from livre_spark.functions.genimg import encode_tiff
+    w, h = 10, 6
+    high = _gradient(w * h * 3)
+    px16 = b"".join(_s.pack(endian + "H", (hb << 8) | ((hb * 5) & 0xFF))
+                    for hb in high)
+    buf = encode_tiff(w, h, px16, spp=3, compression="packbits",
+                      endian=endian, bits=16, planar=True)
+    gw, gh, feats = decode_image(buf)
+    assert (gw, gh) == (w, h)
+    assert feats == _expected_features(high)
+
+
+def test_tiff_planar_containment():
+    """Planar tiles stay an honest boundary; strip-count mismatch and
+    truncation are contained errors."""
+    import struct as _s
+
+    from livre_spark.functions.genimg import encode_tiff
+    w, h = 13, 9
+    buf = encode_tiff(w, h, _gradient(w * h * 3), planar=True,
+                      rows_per_strip=4)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(bytes(buf[: len(buf) // 2]))
+    # planar + tile tags = NotImplementedError, not silent garbage
+    b = bytearray(buf)
+    n = _s.unpack_from("<H", b, 8)[0]
+    for t in range(n):
+        off = 10 + 12 * t
+        if _s.unpack_from("<H", b, off)[0] == 273:
+            _s.pack_into("<H", b, off, 322)  # strip offsets -> tile w
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_image(bytes(b))
