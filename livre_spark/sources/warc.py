@@ -268,40 +268,55 @@ def write_warc(path: str, records: list[dict],
                chunked: bool = False) -> None:
     """Deterministic WARC writer (fixture twin).
 
-    ``records``: dicts with ``url``, ``date`` (ISO string or datetime),
+    ``records``: dicts with ``url`` (optional - ``warcinfo`` records
+    carry no WARC-Target-URI), ``date`` (ISO string or datetime),
     ``body`` bytes, optional ``type`` (default ``response``) and
-    ``http`` (default True: wrap the body as an HTTP 200 response;
-    ``chunked`` stores it with chunked transfer-encoding)."""
+    ``http`` (default True for response/request records: wrap the body
+    as HTTP wire bytes - a 200 response, or a GET request for
+    ``type="request"``; ``chunked`` stores responses with chunked
+    transfer-encoding).  Every WARC-Type a real crawl file interleaves
+    (warcinfo, request, response, metadata, conversion) is writable, so
+    the reader's skip logic is golden-pinned instead of hand-built."""
     out = io.BytesIO()
     for rec in records:
-        body = rec["body"]
-        if rec.get("http", True):
-            if chunked:
+        body = rec.get("body", b"")
+        rtype = rec.get("type", "response")
+        if rec.get("http", rtype in ("response", "request")):
+            if rtype == "request":
+                # request wire bytes: GET line + Host, body rarely used
+                url = rec.get("url", "http://example/")
+                hostpath = url.split("://", 1)[-1]
+                host, _, reqpath = hostpath.partition("/")
+                payload = (b"GET /" + reqpath.encode() + b" HTTP/1.1\r\n"
+                           b"Host: " + host.encode() + b"\r\n\r\n" + body)
+            elif chunked:
                 wire = b""
                 for i in range(0, len(body), 7):
                     part = body[i : i + 7]
                     wire += f"{len(part):x}".encode() + b"\r\n" + part \
                         + b"\r\n"
                 wire += b"0\r\n\r\n"
-                enc = b"Transfer-Encoding: chunked\r\n"
+                payload = (b"HTTP/1.1 200 OK\r\n"
+                           b"Content-Type: text/html\r\n"
+                           b"Transfer-Encoding: chunked\r\n\r\n" + wire)
             else:
-                wire = body
-                enc = f"Content-Length: {len(body)}\r\n".encode()
-            payload = (b"HTTP/1.1 200 OK\r\n"
-                       b"Content-Type: text/html\r\n" + enc + b"\r\n"
-                       + wire)
+                payload = (b"HTTP/1.1 200 OK\r\n"
+                           b"Content-Type: text/html\r\n"
+                           + f"Content-Length: {len(body)}\r\n".encode()
+                           + b"\r\n" + body)
         else:
             payload = body
         date = rec.get("date", "2026-01-01T00:00:00Z")
         if isinstance(date, datetime):
             date = date.strftime("%Y-%m-%dT%H:%M:%SZ")
-        head = (b"WARC/1.0\r\n"
-                b"WARC-Type: " + rec.get("type", "response").encode()
-                + b"\r\n"
-                b"WARC-Target-URI: " + rec["url"].encode() + b"\r\n"
-                b"WARC-Date: " + date.encode() + b"\r\n"
-                b"Content-Length: " + str(len(payload)).encode()
-                + b"\r\n\r\n")
+        head = bytearray(b"WARC/1.0\r\n"
+                         b"WARC-Type: " + rtype.encode() + b"\r\n")
+        if rec.get("url") is not None:  # warcinfo has no Target-URI
+            head += b"WARC-Target-URI: " + rec["url"].encode() + b"\r\n"
+        head += (b"WARC-Date: " + date.encode() + b"\r\n"
+                 b"Content-Length: " + str(len(payload)).encode()
+                 + b"\r\n\r\n")
+        head = bytes(head)
         member = head + payload + b"\r\n\r\n"
         if gzip_members:
             buf = io.BytesIO()
@@ -312,3 +327,26 @@ def write_warc(path: str, records: list[dict],
             out.write(member)
     with open(path, "wb") as fh:
         fh.write(out.getvalue())
+
+
+def write_wet(path: str, records: list[dict],
+              gzip_members: bool = True) -> None:
+    """Deterministic WET writer - ``read_wet``'s twin.
+
+    Common Crawl WET layout: one leading ``warcinfo`` record describing
+    the extraction, then one ``conversion`` record per page carrying the
+    extracted UTF-8 text (no HTTP wrapper).  ``records``: dicts with
+    ``url``, optional ``date``, and ``text`` (str) or ``body`` (bytes).
+    """
+    info = (b"Software-Info: livre-spark WET writer\r\n"
+            b"Extracted-Date: 2026-01-01T00:00:00Z\r\n"
+            b"Format: WARC File Format 1.0\r\n")
+    recs = [{"type": "warcinfo", "body": info, "http": False}]
+    for rec in records:
+        body = rec.get("body")
+        if body is None:
+            body = rec["text"].encode()
+        recs.append({"type": "conversion", "url": rec["url"],
+                     "date": rec.get("date", "2026-01-01T00:00:00Z"),
+                     "body": body, "http": False})
+    write_warc(path, recs, gzip_members=gzip_members)

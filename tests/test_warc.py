@@ -237,3 +237,52 @@ def test_read_pages_routing(spark, tmp_path):
     spark.range(3).write.parquet(str(p))
     assert not _is_warc_source(str(p))
     assert read_pages(spark, str(p)).count() == 3
+
+
+def test_mixed_record_file_skip_logic(spark, tmp_path):
+    """A realistic crawl file interleaving warcinfo / request /
+    response / metadata records (all written by the twin, none
+    hand-built): the reader keeps exactly the responses."""
+    path = str(tmp_path / "mixed.warc.gz")
+    write_warc(path, [
+        {"type": "warcinfo",
+         "body": b"Software-Info: crawler\r\nFormat: WARC 1.0\r\n"},
+        {"type": "request", "url": "http://a.example/page"},
+        {"url": "http://a.example/page", "body": b"<html>A</html>"},
+        {"type": "metadata", "url": "http://a.example/page",
+         "body": b"fetchTimeMs: 12\r\n", "http": False},
+        {"type": "request", "url": "http://b.example/"},
+        {"url": "http://b.example/", "body": b"<html>B</html>"},
+    ])
+    rows = {r["url"]: bytes(r["html"]) for r in
+            read_warc(spark, path).collect()}
+    assert rows == {"http://a.example/page": b"<html>A</html>",
+                    "http://b.example/": b"<html>B</html>"}
+    # the request records ARE HTTP request wire bytes (twin realism)
+    reqs = list(iter_warc_records(
+        io.BufferedReader(io.BytesIO(gzip.open(path, "rb").read())),
+        record_types=(b"request",)))
+    assert len(reqs) == 2
+    assert reqs[0][2].startswith(b"GET /page HTTP/1.1\r\nHost: a.example")
+    # warcinfo has no Target-URI -> url None
+    infos = list(iter_warc_records(
+        io.BufferedReader(io.BytesIO(gzip.open(path, "rb").read())),
+        record_types=(b"warcinfo",)))
+    assert infos[0][0] is None
+
+
+def test_write_wet_roundtrip(spark, tmp_path):
+    """write_wet -> read_wet: warcinfo header skipped, conversion text
+    lands in the text column byte-for-byte."""
+    from livre_spark.sources.warc import read_wet, write_wet
+
+    path = str(tmp_path / "f.warc.wet.gz")
+    write_wet(path, [
+        {"url": "http://a.example/", "text": "extracted text é one"},
+        {"url": "http://b.example/", "text": "two\nlines here"},
+    ])
+    rows = {r["url"]: r["text"] for r in read_wet(spark, path).collect()}
+    assert rows == {"http://a.example/": "extracted text é one",
+                    "http://b.example/": "two\nlines here"}
+    assert all(r["html"] is None
+               for r in read_wet(spark, path).collect())
