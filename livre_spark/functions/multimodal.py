@@ -703,15 +703,20 @@ def decode_image(buf: bytes, fake: bool = False):
     elif buf[:2] == b"BM":
         w, h, samples = _decode_bmp(buf)
     elif buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
-        # lossless (VP8L) decodes for real; lossy (VP8) raises
-        # NotImplementedError inside (boolean arithmetic decoder)
-        from .webp import decode_webp_lossless
-        w, h, samples = decode_webp_lossless(buf)
+        # lossless (VP8L, functions/webp.py) and lossy (VP8 key frame,
+        # functions/vp8.py) both decode for real; the container walk
+        # picks whichever chunk is present
+        from .webp import WebpError, decode_webp_lossless
+        try:
+            w, h, samples = decode_webp_lossless(buf)
+        except (NotImplementedError, WebpError):
+            from .vp8 import decode_webp_lossy
+            w, h, samples = decode_webp_lossy(buf)
     else:
         raise NotImplementedError(
             "unrecognized image format (PNG/JPEG/GIF/TIFF/WAV/PPM/PGM/"
-            "BMP/WebP-lossless decode in pure Python here; lossy WebP/"
-            "JPX etc. need a codec library not in this container)")
+            "BMP/WebP lossless+lossy decode in pure Python here; JPX "
+            "etc. need a codec library not in this container)")
     return w, h, _pixel_features(samples)
 
 

@@ -946,3 +946,446 @@ def _find_vp8_chunk(buf: bytes) -> bytes:
                 ipos += 8 + isize + (isize & 1)
         pos += 8 + size + (size & 1)
     raise Vp8Error("no VP8 chunk")
+
+
+# ---------------------------------------------------------------------------
+# encoder twin
+# ---------------------------------------------------------------------------
+
+class BoolEncoder:
+    """RFC 6386 boolean arithmetic encoder (the decoder's exact twin -
+    pinned by a random-sequence roundtrip test)."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 255
+        self.count = -24
+        self.out = bytearray()
+
+    def write_bool(self, prob: int, bit: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        rng = self.range
+        low = self.low
+        if bit:
+            low += split
+            rng -= split
+        else:
+            rng = split
+        shift = 0
+        while rng < 128:   # renormalize
+            rng <<= 1
+            shift += 1
+        count = self.count + shift
+        if count >= 0:
+            offset = shift - count
+            if (low << (offset - 1)) & 0x80000000:
+                # carry into already-emitted bytes
+                i = len(self.out) - 1
+                while i >= 0 and self.out[i] == 0xFF:
+                    self.out[i] = 0
+                    i -= 1
+                if i >= 0:
+                    self.out[i] += 1
+            self.out.append((low >> (24 - offset)) & 0xFF)
+            low = (low << offset) & 0xFFFFFF
+            shift = count
+            count -= 8
+        self.low = (low << shift) & 0xFFFFFFFF
+        self.range = rng
+        self.count = count
+
+    def write_literal(self, n: int, v: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.write_bool(128, (v >> i) & 1)
+
+    def write_tree(self, tree, probs, value: int) -> None:
+        path = self._tree_path(tree, value, 0)
+        i = 0
+        for bit in path:
+            self.write_bool(probs[i >> 1], bit)
+            i = tree[i + bit]
+
+    @staticmethod
+    def _tree_path(tree, value, i):
+        for bit in (0, 1):
+            nxt = tree[i + bit]
+            if nxt == -value and nxt <= 0:
+                return [bit]
+            if nxt > 0:
+                sub = BoolEncoder._tree_path(tree, value, nxt)
+                if sub is not None:
+                    return [bit] + sub
+        return None
+
+    def finish(self) -> bytes:
+        for _ in range(32):
+            self.write_bool(128, 0)
+        return bytes(self.out)
+
+
+def _fwd_matrices():
+    """Forward DCT/WHT as the float inverse of the integer inverse
+    transforms (scaled x8), so encode->decode is self-consistent by
+    construction."""
+    def fidct(c):
+        t = [0.0] * 16
+        for i in range(4):
+            ip0, ip4, ip8, ip12 = c[i], c[i + 4], c[i + 8], c[i + 12]
+            a1 = ip0 + ip8
+            b1 = ip0 - ip8
+            c1 = ip4 * 35468 / 65536 - (ip12 + ip12 * 20091 / 65536)
+            d1 = (ip4 + ip4 * 20091 / 65536) + ip12 * 35468 / 65536
+            t[i] = a1 + d1
+            t[i + 12] = a1 - d1
+            t[i + 4] = b1 + c1
+            t[i + 8] = b1 - c1
+        out = [0.0] * 16
+        for i in range(4):
+            r = 4 * i
+            ip0, ip1, ip2, ip3 = t[r], t[r + 1], t[r + 2], t[r + 3]
+            a1 = ip0 + ip2
+            b1 = ip0 - ip2
+            c1 = ip1 * 35468 / 65536 - (ip3 + ip3 * 20091 / 65536)
+            d1 = (ip1 + ip1 * 20091 / 65536) + ip3 * 35468 / 65536
+            out[r] = a1 + d1
+            out[r + 3] = a1 - d1
+            out[r + 1] = b1 + c1
+            out[r + 2] = b1 - c1
+        return out
+
+    def fiwht(c):
+        t = [0.0] * 16
+        for i in range(4):
+            a1 = c[i] + c[12 + i]
+            b1 = c[4 + i] + c[8 + i]
+            c1 = c[4 + i] - c[8 + i]
+            d1 = c[i] - c[12 + i]
+            t[i] = a1 + b1
+            t[4 + i] = c1 + d1
+            t[8 + i] = a1 - b1
+            t[12 + i] = d1 - c1
+        out = [0.0] * 16
+        for i in range(4):
+            r = 4 * i
+            a1 = t[r] + t[r + 3]
+            b1 = t[r + 1] + t[r + 2]
+            c1 = t[r + 1] - t[r + 2]
+            d1 = t[r] - t[r + 3]
+            out[r] = a1 + b1
+            out[r + 1] = c1 + d1
+            out[r + 2] = a1 - b1
+            out[r + 3] = d1 - c1
+        return out
+
+    m_idct = np.array([fidct([1.0 if j == i else 0.0 for j in range(16)])
+                       for i in range(16)]).T
+    m_iwht = np.array([fiwht([1.0 if j == i else 0.0 for j in range(16)])
+                       for i in range(16)]).T
+    return np.linalg.inv(m_idct) * 8.0, np.linalg.inv(m_iwht) * 8.0
+
+
+_FDCT_M, _FWHT_M = _fwd_matrices()
+
+
+def _quantize(coeffs, dq_dc, dq_ac):
+    """Truncate-toward-zero quantization -> integer qcoeffs (capped to
+    the cat6 token range)."""
+    q = [0] * 16
+    for i in range(16):
+        dq = dq_dc if i == 0 else dq_ac
+        v = int(coeffs[i] / dq)  # trunc toward zero
+        q[i] = max(-2047, min(2047, v))
+    return q
+
+
+def _write_coeffs(be, table, start_ctx, qcoeffs, first):
+    """Token-encode one quantized block (exact mirror of
+    ``_decode_block``'s read order).  ``table`` = probs[band][ctx][11]
+    for the plane type, ``start_ctx`` the above+left nonzero context.
+    Returns the nonzero flag."""
+    zz = [qcoeffs[ZIGZAG[i]] for i in range(16)]
+    last = -1
+    for i in range(first, 16):
+        if zz[i]:
+            last = i
+    cur = start_ctx
+    prev_was_zero = False
+    i = first
+    while i < 16:
+        p = table[COEFF_BANDS[i]][cur]
+        if last < i:
+            if not prev_was_zero:
+                be.write_bool(p[0], 0)          # EOB
+            break
+        if not prev_was_zero:
+            be.write_bool(p[0], 1)
+        v = zz[i]
+        av = abs(v)
+        if av == 0:
+            be.write_bool(p[1], 0)
+            cur = 0
+            prev_was_zero = True
+            i += 1
+            continue
+        be.write_bool(p[1], 1)
+        prev_was_zero = False
+        if av == 1:
+            be.write_bool(p[2], 0)
+            cur = 1
+        else:
+            be.write_bool(p[2], 1)
+            cur = 2
+            if av <= 4:
+                be.write_bool(p[3], 0)
+                if av == 2:
+                    be.write_bool(p[4], 0)
+                else:
+                    be.write_bool(p[4], 1)
+                    be.write_bool(p[5], av - 3)
+            else:
+                be.write_bool(p[3], 1)
+                for ci in range(6):
+                    base, cps = CAT_PROBS[ci]
+                    if av <= base + (1 << len(cps)) - 1 or ci == 5:
+                        break
+                if ci < 2:
+                    be.write_bool(p[6], 0)
+                    be.write_bool(p[7], ci & 1)
+                elif ci < 4:
+                    be.write_bool(p[6], 1)
+                    be.write_bool(p[8], 0)
+                    be.write_bool(p[9], ci & 1)
+                else:
+                    be.write_bool(p[6], 1)
+                    be.write_bool(p[8], 1)
+                    be.write_bool(p[10], ci & 1)
+                base, cps = CAT_PROBS[ci]
+                extra = av - base
+                nb = len(cps)
+                for k in range(nb):
+                    be.write_bool(cps[k], (extra >> (nb - 1 - k)) & 1)
+        be.write_bool(128, 1 if v < 0 else 0)
+        i += 1
+    return last >= first
+
+
+def encode_vp8(width: int, height: int, rgb: bytes,
+               qi: int = 12) -> bytes:
+    """Deterministic lossy-WebP writer - ``decode_webp_lossy``'s twin
+    (the repo-wide golden pattern).
+
+    Intra-16x16 key frame: per-MB best-SAD luma mode (DC/V/H/TM over
+    reconstructed borders), chroma DC, quantizer index ``qi``, loop
+    filter level 0, one token partition, default probabilities.  The
+    encoder runs the decoder's own reconstruction (same predictors,
+    same integer IDCT/IWHT), so its output is exactly what
+    ``decode_vp8`` will produce - tests compare decode against the
+    planes returned alongside the container.
+
+    Returns (webp_bytes, (Y, U, V) reconstructed planes cropped)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length mismatch")
+    arr = np.frombuffer(rgb, np.uint8).reshape(height, width, 3)
+    # BT.601 full-range RGB -> YUV (inverse of yuv420_to_rgb)
+    r = arr[..., 0].astype(np.float64)
+    g = arr[..., 1].astype(np.float64)
+    b = arr[..., 2].astype(np.float64)
+    yf = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 + (b - yf) / 1.772
+    cr = 128.0 + (r - yf) / 1.402
+    mb_w = (width + 15) >> 4
+    mb_h = (height + 15) >> 4
+
+    Ysrc = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    Ysrc[:height, :width] = np.clip(np.round(yf), 0, 255).astype(np.uint8)
+    # edge-replicate into the padding so edge MBs predict sanely
+    Ysrc[height:, :width] = Ysrc[height - 1 : height, :width]
+    Ysrc[:, width:] = Ysrc[:, width - 1 : width]
+    uvh, uvw = (height + 1) >> 1, (width + 1) >> 1
+    cbp = np.clip(np.round(cb), 0, 255).astype(np.uint8)
+    crp = np.clip(np.round(cr), 0, 255).astype(np.uint8)
+    # 2x2 box downsample (pad odd dims by edge replication)
+    cbe = np.pad(cbp, ((0, height & 1), (0, width & 1)), mode="edge")
+    cre = np.pad(crp, ((0, height & 1), (0, width & 1)), mode="edge")
+    Usrc = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    Vsrc = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    Usrc[:uvh, :uvw] = ((cbe[0::2, 0::2].astype(int)
+                         + cbe[0::2, 1::2] + cbe[1::2, 0::2]
+                         + cbe[1::2, 1::2] + 2) // 4).astype(np.uint8)
+    Vsrc[:uvh, :uvw] = ((cre[0::2, 0::2].astype(int)
+                         + cre[0::2, 1::2] + cre[1::2, 0::2]
+                         + cre[1::2, 1::2] + 2) // 4).astype(np.uint8)
+    Usrc[uvh:, :uvw] = Usrc[uvh - 1 : uvh, :uvw]
+    Usrc[:, uvw:] = Usrc[:, uvw - 1 : uvw]
+    Vsrc[uvh:, :uvw] = Vsrc[uvh - 1 : uvh, :uvw]
+    Vsrc[:, uvw:] = Vsrc[:, uvw - 1 : uvw]
+
+    qi = _clamp_q(qi)
+    y1dc = DC_QLOOKUP[qi]
+    y1ac = AC_QLOOKUP[qi]
+    y2dc = DC_QLOOKUP[qi] * 2
+    y2ac = max(8, AC_QLOOKUP[qi] * 155 // 100)
+    uvdc = min(132, DC_QLOOKUP[qi])
+    uvac = AC_QLOOKUP[qi]
+
+    # recon planes (decoder-identical)
+    Y = np.zeros_like(Ysrc)
+    U = np.zeros_like(Usrc)
+    V_ = np.zeros_like(Vsrc)
+
+    coeff_probs = DEFAULT_COEFF_PROBS
+    # partition 1 is ONE continuous arithmetic stream: header bits
+    # first, then every MB's mode record
+    be1 = BoolEncoder()
+    be1.write_bool(128, 0)  # color space
+    be1.write_bool(128, 0)  # clamping
+    be1.write_bool(128, 0)  # segmentation disabled
+    be1.write_bool(128, 0)  # filter type: normal
+    be1.write_literal(6, 0)  # loop filter level 0
+    be1.write_literal(3, 0)  # sharpness
+    be1.write_bool(128, 0)  # lf deltas off
+    be1.write_literal(2, 0)  # one token partition
+    be1.write_literal(7, qi)
+    for _ in range(5):
+        be1.write_bool(128, 0)  # no quant deltas
+    be1.write_bool(128, 1)  # refresh entropy
+    for t in range(4):
+        for b_ in range(8):
+            for c in range(3):
+                for k in range(11):
+                    be1.write_bool(COEFF_UPDATE_PROBS[t][b_][c][k], 0)
+    be1.write_bool(128, 0)  # mb_no_skip off (all MBs code tokens)
+    be_tok = BoolEncoder()     # token partition
+
+    # nonzero contexts (mirror of decode)
+    a_y = [[0] * 4 for _ in range(mb_w)]
+    a_u = [[0] * 2 for _ in range(mb_w)]
+    a_v = [[0] * 2 for _ in range(mb_w)]
+    a_y2 = [0] * mb_w
+
+    def fdct(res):
+        return [int(x) for x in
+                np.round(_FDCT_M @ np.asarray(res, float).ravel())]
+
+    def fwht(dcs):
+        return [int(x) for x in
+                np.round(_FWHT_M @ np.asarray(dcs, float).ravel())]
+
+    for mby in range(mb_h):
+        l_y = [0] * 4
+        l_u = [0] * 2
+        l_v = [0] * 2
+        l_y2 = 0
+        for mbx in range(mb_w):
+            x0, y0 = mbx * 16, mby * 16
+            have_a = mby > 0
+            have_l = mbx > 0
+            above = (Y[y0 - 1, x0 : x0 + 16] if have_a
+                     else np.full(16, 127, np.uint8))
+            left = (Y[y0 : y0 + 16, x0 - 1] if have_l
+                    else np.full(16, 129, np.uint8))
+            tl = (int(Y[y0 - 1, x0 - 1]) if have_a and have_l
+                  else (129 if have_a else 127))
+            src = Ysrc[y0 : y0 + 16, x0 : x0 + 16].astype(np.int32)
+            best, best_sad, best_pred = 0, None, None
+            for mode in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+                pr = _pred_mb(mode, above, left, tl, have_a, have_l, 16)
+                sad = int(np.abs(src - pr).sum())
+                if best_sad is None or sad < best_sad:
+                    best, best_sad, best_pred = mode, sad, pr
+            ym = best
+            pred = best_pred
+            # forward transform all 16 Y blocks
+            qblocks = []
+            dcs = []
+            for sb in range(16):
+                r, c = sb >> 2, sb & 3
+                res = (src[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                       - pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4])
+                coeffs = fdct(res)
+                dcs.append(coeffs[0])
+                q = _quantize(coeffs, y1dc, y1ac)
+                q[0] = 0  # DC rides in Y2
+                qblocks.append(q)
+            qy2 = _quantize(fwht(dcs), y2dc, y2ac)
+
+            # write this MB's mode record into partition 1
+            be1.write_tree(KF_YMODE_TREE, KF_YMODE_PROBS, ym)
+            be1.write_tree(UV_MODE_TREE, KF_UV_MODE_PROBS, DC_PRED)
+
+            # tokens: Y2, 16 Y, 4 U, 4 V (order = decoder)
+            ctx = a_y2[mbx] + l_y2
+            nz = _write_coeffs(be_tok, coeff_probs[1], ctx, qy2, 0)
+            a_y2[mbx] = l_y2 = int(nz)
+            y2_deq = [qy2[k] * (y2dc if k == 0 else y2ac)
+                      for k in range(16)]
+            y_dcs = _iwht4x4(y2_deq)
+            nz_grid = [[0] * 4 for _ in range(4)]
+            deq_blocks = []
+            for sb in range(16):
+                r, c = sb >> 2, sb & 3
+                anz = nz_grid[r - 1][c] if r > 0 else a_y[mbx][c]
+                lnz = nz_grid[r][c - 1] if c > 0 else l_y[r]
+                nz = _write_coeffs(be_tok, coeff_probs[0], anz + lnz,
+                                   qblocks[sb], 1)
+                nz_grid[r][c] = int(nz)
+                deq = [qblocks[sb][k] * (y1dc if k == 0 else y1ac)
+                       for k in range(16)]
+                deq[0] = y_dcs[sb]
+                deq_blocks.append(deq)
+            a_y[mbx] = nz_grid[3][:]
+            l_y = [nz_grid[r][3] for r in range(4)]
+            _add_residuals(Y, x0, y0, pred, deq_blocks, 4)
+
+            # chroma (DC mode)
+            for plane_i, (srcp, recp, a_c) in enumerate(
+                    ((Usrc, U, a_u), (Vsrc, V_, a_v))):
+                cx, cy = mbx * 8, mby * 8
+                ca = (recp[cy - 1, cx : cx + 8] if have_a
+                      else np.full(8, 127, np.uint8))
+                cl = (recp[cy : cy + 8, cx - 1] if have_l
+                      else np.full(8, 129, np.uint8))
+                ctl = (int(recp[cy - 1, cx - 1]) if have_a and have_l
+                       else (129 if have_a else 127))
+                cpred = _pred_mb(DC_PRED, ca, cl, ctl, have_a, have_l, 8)
+                csrc = srcp[cy : cy + 8, cx : cx + 8].astype(np.int32)
+                grid = [[0] * 2 for _ in range(2)]
+                deqs = []
+                for sb in range(4):
+                    r, c = sb >> 1, sb & 1
+                    res = (csrc[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                           - cpred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4])
+                    q = _quantize(fdct(res), uvdc, uvac)
+                    anz = grid[r - 1][c] if r > 0 else a_c[mbx][c]
+                    lnz = (grid[r][c - 1] if c > 0
+                           else (l_u[r] if plane_i == 0 else l_v[r]))
+                    nz = _write_coeffs(be_tok, coeff_probs[2],
+                                       anz + lnz, q, 0)
+                    grid[r][c] = int(nz)
+                    deqs.append([q[k] * (uvdc if k == 0 else uvac)
+                                 for k in range(16)])
+                a_c[mbx] = [grid[1][0], grid[1][1]]
+                if plane_i == 0:
+                    l_u = [grid[0][1], grid[1][1]]
+                else:
+                    l_v = [grid[0][1], grid[1][1]]
+                _add_residuals(recp, cx, cy, cpred, deqs, 2)
+
+    part1 = be1.finish()
+    tokens = be_tok.finish()
+
+    tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
+    frame = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+    frame += b"\x9d\x01\x2a"
+    frame += struct.pack("<HH", width, height)
+    frame += part1 + tokens
+    if len(frame) & 1:
+        padded = frame + b"\x00"
+    else:
+        padded = frame
+    container = (b"RIFF" + struct.pack("<I", 4 + 8 + len(padded))
+                 + b"WEBP" + b"VP8 " + struct.pack("<I", len(frame))
+                 + padded)
+    uv_w2, uv_h2 = (width + 1) >> 1, (height + 1) >> 1
+    return container, (Y[:height, :width], U[:uv_h2, :uv_w2],
+                       V_[:uv_h2, :uv_w2])

@@ -1,0 +1,224 @@
+"""VP8 (lossy WebP) decoder: libwebp plane-exact validation, encoder
+twin roundtrips, containment fuzz, bomb guards.
+
+The strongest gate here decodes REAL libwebp-encoded bitstreams and
+compares Y/U/V planes byte-exact against libwebp's own decoder
+(ctypes over the system libwebp.so - tests only; the product decoder
+in livre_spark/functions/vp8.py is dependency-free).  Where libwebp is
+absent those tests skip and the pure-Python encoder twin (itself
+validated against libwebp where present) carries the roundtrips."""
+
+import ctypes
+import ctypes.util
+
+import numpy as np
+import pytest
+
+from livre_spark.functions.vp8 import (
+    BoolDecoder, BoolEncoder, Vp8Error, _find_vp8_chunk, decode_vp8,
+    decode_webp_lossy, encode_vp8,
+)
+
+
+def _load_libwebp():
+    for name in ("libwebp.so.7", "libwebp.so",
+                 ctypes.util.find_library("webp")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        lib.WebPEncodeRGB.restype = ctypes.c_size_t
+        lib.WebPEncodeRGB.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+        lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.WebPDecodeYUV.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
+        return lib
+    return None
+
+
+_LIB = _load_libwebp()
+needs_libwebp = pytest.mark.skipif(_LIB is None,
+                                   reason="system libwebp not present")
+
+
+def _ref_encode(rgb: bytes, w: int, h: int, quality: float) -> bytes:
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeRGB(rgb, w, h, w * 3, quality, ctypes.byref(out))
+    assert n > 0
+    data = ctypes.string_at(out, n)
+    _LIB.WebPFree(out)
+    return data
+
+
+def _ref_decode_yuv(webp: bytes):
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_uint8)()
+    v = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    yp = _LIB.WebPDecodeYUV(webp, len(webp), ctypes.byref(w),
+                            ctypes.byref(h), ctypes.byref(u),
+                            ctypes.byref(v), ctypes.byref(stride),
+                            ctypes.byref(uv_stride))
+    assert yp
+    W, H = w.value, h.value
+    uw, uh = (W + 1) // 2, (H + 1) // 2
+    Y = np.ctypeslib.as_array(yp, shape=(H, stride.value))[:, :W].copy()
+    U = np.ctypeslib.as_array(u, shape=(uh, uv_stride.value))[:, :uw].copy()
+    V = np.ctypeslib.as_array(v, shape=(uh, uv_stride.value))[:, :uw].copy()
+    _LIB.WebPFree(ctypes.cast(yp, ctypes.c_void_p))
+    return W, H, Y, U, V
+
+
+def _gradient(w, h, seed):
+    rng = np.random.default_rng(seed)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    img = np.stack([(x * 3 + y * 5 + seed) % 256,
+                    (x * 7 ^ y * 2) % 256,
+                    (x + y * 11 + 64) % 256], axis=-1).astype(np.uint8)
+    noise = rng.integers(0, 40, size=img.shape, dtype=np.uint8)
+    return ((img.astype(int) + noise) % 256).astype(np.uint8)
+
+
+def _photo(w, h, seed):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256,
+                        size=((h + 7) // 8, (w + 7) // 8, 3))
+    img = np.kron(base, np.ones((8, 8, 1)))[:h, :w]
+    return np.clip(img + rng.normal(0, 6, img.shape), 0, 255) \
+        .astype(np.uint8)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("w,h,q,gen", [
+    (16, 16, 50.0, _gradient),       # single MB
+    (48, 48, 75.0, _gradient),       # B_PRED heavy, segmentation
+    (48, 48, 10.0, _photo),          # i16/skip heavy, high quant
+    (64, 40, 10.0, _photo),          # TM at top row, flat MBs
+    (17, 13, 50.0, _photo),          # non-MB-multiple crop
+    (33, 49, 95.0, _gradient),       # odd dims, low quant
+])
+def test_decode_matches_libwebp_plane_exact(w, h, q, gen):
+    """Real libwebp-encoded bitstream -> my decode == libwebp's decode,
+    byte-exact on all three planes (loop filter included) - validates
+    the whole pipeline INCLUDING the RFC 6386 constant tables."""
+    img = gen(w, h, seed=w + h + int(q))
+    webp = _ref_encode(img.tobytes(), w, h, q)
+    W, H, Yr, Ur, Vr = _ref_decode_yuv(webp)
+    Wm, Hm, Ym, Um, Vm = decode_vp8(_find_vp8_chunk(webp))
+    assert (Wm, Hm) == (W, H) == (w, h)
+    assert np.array_equal(Ym, Yr)
+    assert np.array_equal(Um, Ur)
+    assert np.array_equal(Vm, Vr)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("qi", [0, 40, 127])
+def test_encoder_twin_bitstreams_decode_in_libwebp(qi):
+    """The pure-Python encoder's bitstreams are CONFORMANT: libwebp
+    decodes them to exactly the encoder's own reconstruction."""
+    img = _photo(33, 49, seed=qi)
+    webp, (Ye, Ue, Ve) = encode_vp8(33, 49, img.tobytes(), qi=qi)
+    W, H, Yr, Ur, Vr = _ref_decode_yuv(bytes(webp))
+    assert (W, H) == (33, 49)
+    assert np.array_equal(Ye, Yr)
+    assert np.array_equal(Ue, Ur)
+    assert np.array_equal(Ve, Vr)
+
+
+@pytest.mark.parametrize("w,h,qi", [(16, 16, 12), (32, 16, 4),
+                                    (17, 13, 40), (40, 56, 100)])
+def test_encode_decode_roundtrip_exact(w, h, qi):
+    """encode_vp8 -> decode_vp8 reproduces the encoder's reconstruction
+    exactly (no libwebp needed)."""
+    rng = np.random.default_rng(w * h + qi)
+    img = ((rng.integers(0, 256, size=(h, w, 3)) // 3) + 80) \
+        .astype(np.uint8)
+    webp, (Ye, Ue, Ve) = encode_vp8(w, h, img.tobytes(), qi=qi)
+    W, H, Yd, Ud, Vd = decode_vp8(_find_vp8_chunk(webp))
+    assert (W, H) == (w, h)
+    assert np.array_equal(Ye, Yd)
+    assert np.array_equal(Ue, Ud)
+    assert np.array_equal(Ve, Vd)
+
+
+def test_gray_constant_roundtrip_is_lossless():
+    """Constant-gray images roundtrip PIXEL-EXACT through the lossy
+    path (u=v=128 residual-free; DC-only luma reconstructs exactly) -
+    the property the vp8_real_decode oracle row leans on."""
+    for c in (0, 1, 77, 128, 200, 255):
+        rgb = bytes([c, c, c]) * 256
+        webp, _ = encode_vp8(16, 16, rgb, qi=c % 9)
+        w, h, out = decode_webp_lossy(bytes(webp))
+        assert (w, h) == (16, 16)
+        assert out == rgb
+
+
+def test_bool_coder_roundtrip():
+    import random
+    rng = random.Random(99)
+    for _ in range(50):
+        seq = [(rng.randrange(1, 255), rng.randrange(2))
+               for _ in range(rng.randrange(1, 500))]
+        be = BoolEncoder()
+        for p, b in seq:
+            be.write_bool(p, b)
+        bd = BoolDecoder(be.finish())
+        assert [bd.read_bool(p) for p, _ in seq] == [b for _, b in seq]
+
+
+def test_dimension_bomb_guard():
+    # hostile header declaring 16383x16383 (~268 MP) must be rejected
+    # before any allocation
+    hdr = bytes([0x00, 0x00, 0x00]) + b"\x9d\x01\x2a" + \
+        (0x3FFF).to_bytes(2, "little") + (0x3FFF).to_bytes(2, "little")
+    with pytest.raises(Vp8Error, match="max_pixels"):
+        decode_vp8(hdr + b"\x00" * 32)
+
+
+def test_containment_fuzz():
+    """Random byte corruption of a valid stream never escapes the
+    (Vp8Error, NotImplementedError) containment family."""
+    import random
+    img = _photo(32, 32, seed=3)
+    webp, _ = encode_vp8(32, 32, img.tobytes(), qi=30)
+    webp = bytes(webp)
+    rng = random.Random(11)
+    for _ in range(60):
+        b = bytearray(webp)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        try:
+            decode_webp_lossy(bytes(b))
+        except (Vp8Error, NotImplementedError, ValueError):
+            pass  # contained
+
+
+def test_not_a_key_frame_rejected():
+    with pytest.raises(Vp8Error, match="key frame"):
+        decode_vp8(bytes([0x01, 0x00, 0x00]) + b"\x9d\x01\x2a"
+                   + b"\x10\x00\x10\x00" + b"\x00" * 16)
+
+
+def test_decode_image_routes_lossy_webp():
+    """multimodal.decode_image reaches the VP8 decoder through the
+    container walk and featurizes for real."""
+    from livre_spark.functions.multimodal import decode_image
+    c = 0xA7
+    rgb = bytes([c, c, c]) * 256
+    webp, _ = encode_vp8(16, 16, rgb, qi=2)
+    w, h, feats = decode_image(bytes(webp))
+    assert (w, h) == (16, 16)
+    assert feats[c >> 4] == pytest.approx(1.0)
