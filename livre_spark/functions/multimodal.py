@@ -11,10 +11,12 @@ LSB-first LZW, interlace, first frame of animations), **PPM/PGM**
 (binary P6/P5), **BMP** (24-bit uncompressed), **TIFF** (strips AND
 tiles, 8/16-bit, none/LZW/PackBits/CCITT-fax, horizontal predictor,
 either endianness, multi-page IFD chains via ``decode_tiff_page``),
-**WebP lossless** (VP8L, functions/webp.py) and **WAV** audio (RIFF
-PCM 8/16-bit; the metadata slots carry sample rate / channels) in pure
-Python - no PIL/libvips in this container.  Remaining formats (lossy
-WebP; arithmetic JPEG; JPEG 2000) raise ``NotImplementedError``,
+**WebP lossless** (VP8L, functions/webp.py), **WebP lossy** (VP8 key
+frame, functions/vp8.py - RFC 6386 boolean decoder, intra prediction,
+loop filter) and **WAV** audio (RIFF PCM 8/16-bit; the metadata slots
+carry sample rate / channels) in pure Python - no PIL/libvips in this
+container.  Remaining formats (arithmetic JPEG; JPEG 2000) raise
+``NotImplementedError``,
 contained into the ``error`` column like every other per-row failure -
 with ``image_dimensions`` still recovering header width/height for
 those rows.  ``fake=True`` keeps the
@@ -704,20 +706,47 @@ def decode_image(buf: bytes, fake: bool = False):
         w, h, samples = _decode_bmp(buf)
     elif buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
         # lossless (VP8L, functions/webp.py) and lossy (VP8 key frame,
-        # functions/vp8.py) both decode for real; the container walk
-        # picks whichever chunk is present
-        from .webp import WebpError, decode_webp_lossless
-        try:
-            w, h, samples = decode_webp_lossless(buf)
-        except (NotImplementedError, WebpError):
+        # functions/vp8.py) both decode for real; route on which chunk
+        # the container holds (NOT try/except - a real VP8L decode
+        # error must surface as itself, not as "no VP8 chunk")
+        if _webp_is_lossy(buf):
             from .vp8 import decode_webp_lossy
             w, h, samples = decode_webp_lossy(buf)
+        else:
+            from .webp import decode_webp_lossless
+            w, h, samples = decode_webp_lossless(buf)
     else:
         raise NotImplementedError(
             "unrecognized image format (PNG/JPEG/GIF/TIFF/WAV/PPM/PGM/"
             "BMP/WebP lossless+lossy decode in pure Python here; JPX "
             "etc. need a codec library not in this container)")
     return w, h, _pixel_features(samples)
+
+
+def _webp_is_lossy(buf: bytes) -> bool:
+    """True when the container's first image chunk is VP8 (lossy),
+    walking top-level chunks and ANMF animation frames."""
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        if cid == b"VP8 ":
+            return True
+        if cid == b"VP8L":
+            return False
+        if cid == b"ANMF" and size > 16:
+            inner = buf[pos + 8 + 16 : pos + 8 + size]
+            ipos = 0
+            while ipos + 8 <= len(inner):
+                icid = inner[ipos : ipos + 4]
+                isize = struct.unpack_from("<I", inner, ipos + 4)[0]
+                if icid == b"VP8 ":
+                    return True
+                if icid == b"VP8L":
+                    return False
+                ipos += 8 + isize + (isize & 1)
+        pos += 8 + size + (size & 1)
+    return False
 
 
 def image_dimensions(buf: bytes) -> tuple[int, int] | None:

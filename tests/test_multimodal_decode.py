@@ -58,10 +58,10 @@ def test_png_corruption_contained():
     from livre_spark.functions.gif import GifError
     with pytest.raises(GifError):
         decode_image(b"GIF89a rest")  # truncated screen descriptor
-    from livre_spark.functions.webp import WebpError
-    with pytest.raises(WebpError):
-        decode_image(b"RIFF\x04\x00\x00\x00WEBP")  # no VP8L chunk
-    with pytest.raises(NotImplementedError):  # lossy VP8 = codec boundary
+    from livre_spark.functions.vp8 import Vp8Error
+    with pytest.raises((Vp8Error, ValueError)):
+        decode_image(b"RIFF\x04\x00\x00\x00WEBP")  # no VP8L/VP8 chunk
+    with pytest.raises(Vp8Error):  # lossy VP8 decodes now; empty = contained
         decode_image(b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
 
 
@@ -430,7 +430,8 @@ def test_wav_containment():
     bad[fmt_at:fmt_at + 2] = _s.pack("<H", 3)
     with pytest.raises(NotImplementedError):
         decode_image(bytes(bad))
-    # lossy WebP (RIFF but not WAVE) still routes to the codec boundary
+    # lossy WebP (RIFF but not WAVE) routes to the VP8 decoder; an
+    # empty chunk is a contained error
     with pytest.raises((NotImplementedError, ValueError)):
         decode_image(b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
 
@@ -756,7 +757,10 @@ def test_webp_lossless_decodes_through_decode_image():
     assert (gw, gh) == (w, h) and feats == _expected_features(pxa)
     with _pytest.raises(WebpError):
         decode_image(buf[: len(buf) - 6])
-    with _pytest.raises(NotImplementedError):
+    # lossy VP8 now decodes for real (functions/vp8.py); a garbage
+    # 10-byte chunk is a CONTAINED error, not a crash
+    from livre_spark.functions.vp8 import Vp8Error
+    with _pytest.raises(Vp8Error):
         decode_image(_webp_container(b"VP8 ", b"\x00" * 10))
 
 
