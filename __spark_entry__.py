@@ -1290,6 +1290,61 @@ def q_webp_real_decode(spark, sf_dir):
 SQL_WEBP_REAL_DECODE = SQL_MULTIMODAL_REAL_DECODE
 
 
+def _vp8_batches(batches):
+    """Per row: a CONSTANT-GRAY 16x16 image (gray = first md5(text)
+    byte) wrapped in a REAL lossy VP8 WebP by the deterministic encoder
+    twin (functions/vp8.py), quantizer cycled by doc_id - then decoded
+    end-to-end through the container walk, boolean decoder, IDCT/WHT,
+    prediction and featurizer.  Gray constants roundtrip PIXEL-EXACT
+    through the lossy path (u=v=128 is residual-free and the DC-only
+    luma reconstruction is exact - pinned by
+    tests/test_vp8.py::test_gray_constant_roundtrip_is_lossless), so
+    the DuckDB twin derives the expected gray and histogram
+    independently from md5(text)."""
+    import hashlib
+
+    import pandas as pd
+
+    from livre_spark.functions.multimodal import decode_image
+    from livre_spark.functions.vp8 import decode_webp_lossy, encode_vp8
+
+    for batch in batches:
+        out = {"url": [], "width": [], "height": [], "gray": [],
+               "bin_count": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            did = int(doc_id)
+            c = hashlib.md5(str(text).encode()).digest()[0]
+            rgb = bytes([c, c, c]) * 256
+            webp, _ = encode_vp8(16, 16, rgb, qi=did % 9)
+            w, h, px = decode_webp_lossy(bytes(webp))
+            assert px == rgb, f"gray {c} qi {did % 9} not exact"
+            _, _, feats = decode_image(bytes(webp))
+            out["url"].append(f"vp8://{did}")
+            out["width"].append(w)
+            out["height"].append(h)
+            out["gray"].append(px[0])
+            out["bin_count"].append(int(round(feats[c >> 4] * 768)))
+        yield pd.DataFrame(out)
+
+
+def q_vp8_real_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _vp8_batches,
+        schema="url string, width int, height int, gray long,"
+               " bin_count long")
+
+
+# gray roundtrip is pixel-exact, so SQL derives everything from md5
+SQL_VP8_REAL_DECODE = """
+SELECT 'vp8://' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       ('0x' || substr(md5(text), 1, 2))::BIGINT AS gray,
+       CAST(768 AS BIGINT) AS bin_count
+FROM documents
+"""
+
+
 def q_url_normalize(spark, sf_dir):
     """Crawl-frontier URL canonicalization (functions/urls.py): messy
     URLs constructed deterministically per doc (mixed case, default
@@ -1572,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "multimodal_real_decode": q_multimodal_real_decode,
         "webp_real_decode": q_webp_real_decode,
+        "vp8_real_decode": q_vp8_real_decode,
         "url_normalize": q_url_normalize,
         "pdf_images": q_pdf_images,
         "audio_features": q_audio_features,
@@ -1625,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
         "webp_real_decode": SQL_WEBP_REAL_DECODE,
+        "vp8_real_decode": SQL_VP8_REAL_DECODE,
         "url_normalize": SQL_URL_NORMALIZE,
         "pdf_images": SQL_PDF_IMAGES,
         "audio_features": SQL_AUDIO_FEATURES,
