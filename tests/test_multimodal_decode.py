@@ -119,7 +119,9 @@ def test_spark_real_decode(spark):
         assert (got[mid]["width"], got[mid]["height"]) == (w, h)
         assert got[mid]["features"] == _expected_features(px)
         assert got[mid]["error"] is None
-    assert "NotImplementedError" in got[4]["error"]  # contained, row kept
+    # lossy VP8 decodes for real now; the empty chunk is a
+    # CONTAINED Vp8Error - row kept either way
+    assert "Vp8Error" in got[4]["error"]
     assert got[5]["error"] is not None
     assert got[5]["features"] is None
     assert "JpegError" in got[6]["error"]  # truncated JPEG contained
