@@ -919,10 +919,20 @@ def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
 
 
 def decode_webp_lossy(buf: bytes, max_pixels: int = 1 << 22):
-    """WebP container with a VP8 (lossy) chunk -> (w, h, RGB bytes)."""
+    """WebP container with a VP8 (lossy) chunk -> (w, h, RGB bytes) -
+    or RGBA when an ALPH chunk rides alongside (alpha is LOSSLESS in
+    WebP: raw or headerless-VP8L coded, optionally filtered)."""
     payload = _find_vp8_chunk(buf)
     w, h, y, u, v = decode_vp8(payload, max_pixels=max_pixels)
-    return w, h, yuv420_to_rgb(y, u, v)
+    rgb = yuv420_to_rgb(y, u, v)
+    alph = _find_alph_chunk(buf)
+    if alph is None:
+        return w, h, rgb
+    alpha = _decode_alpha(alph, w, h)
+    rgba = np.empty((h, w, 4), dtype=np.uint8)
+    rgba[..., :3] = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    rgba[..., 3] = alpha
+    return w, h, rgba.tobytes()
 
 
 def _find_vp8_chunk(buf: bytes) -> bytes:
@@ -1389,3 +1399,129 @@ def encode_vp8(width: int, height: int, rgb: bytes,
     uv_w2, uv_h2 = (width + 1) >> 1, (height + 1) >> 1
     return container, (Y[:height, :width], U[:uv_h2, :uv_w2],
                        V_[:uv_h2, :uv_w2])
+
+
+# ---------------------------------------------------------------------------
+# ALPH chunk: the alpha plane of lossy WebP (container spec section
+# "Alpha").  Alpha is stored LOSSLESSLY next to the lossy VP8 frame -
+# raw bytes or a headerless VP8L stream (alpha in the green channel),
+# optionally per-pixel filtered (none/horizontal/vertical/gradient).
+# ---------------------------------------------------------------------------
+
+def _decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk payload -> (h, w) uint8 alpha plane."""
+    from .webp import (
+        WebpError, _add_pixels, _BitReader, _div_round_up,
+        _inverse_color_transform, _inverse_palette, _inverse_predictor,
+        _inverse_subtract_green, _palette_xbits, _read_entropy_coded,
+    )
+
+    if not payload:
+        raise Vp8Error("empty ALPH chunk")
+    b0 = payload[0]
+    compression = b0 & 3
+    filt = (b0 >> 2) & 3
+    # preprocessing bits ((b0 >> 4) & 3) are an encoder-side hint
+    if compression == 0:
+        if len(payload) - 1 < w * h:
+            raise Vp8Error("truncated raw alpha plane")
+        alpha = np.frombuffer(payload[1 : 1 + w * h],
+                              np.uint8).reshape(h, w).astype(np.int32)
+    elif compression == 1:
+        # headerless VP8L stream, alpha rides the green channel
+        try:
+            br = _BitReader(payload[1:])
+            transforms = []
+            seen = set()
+            cur_w = w
+            while br.read_bit():
+                t = br.read(2)
+                if t in seen:
+                    raise WebpError("duplicate transform")
+                seen.add(t)
+                if t in (0, 1):
+                    size_bits = br.read(3) + 2
+                    bw = _div_round_up(cur_w, 1 << size_bits)
+                    bh = _div_round_up(h, 1 << size_bits)
+                    sub = _read_entropy_coded(br, bw, bh, False)
+                    transforms.append((t, size_bits, sub, cur_w))
+                elif t == 2:
+                    transforms.append((2,))
+                else:
+                    n = br.read(8) + 1
+                    pal = _read_entropy_coded(br, n, 1, False)
+                    for i in range(1, n):
+                        pal[i] = _add_pixels(pal[i], pal[i - 1])
+                    transforms.append((3, cur_w, pal))
+                    cur_w = _div_round_up(cur_w, 1 << _palette_xbits(n))
+            px = _read_entropy_coded(br, cur_w, h, True)
+            if len(px) != cur_w * h:
+                raise WebpError("alpha pixel count mismatch")
+            for tf in reversed(transforms):
+                if tf[0] == 3:
+                    _, orig_w, pal = tf
+                    px = _inverse_palette(px, orig_w, h, pal)
+                    cur_w = orig_w
+                elif tf[0] == 2:
+                    _inverse_subtract_green(px)
+                elif tf[0] == 1:
+                    _inverse_color_transform(px, cur_w, h, tf[1], tf[2])
+                else:
+                    _inverse_predictor(px, cur_w, h, tf[1], tf[2])
+        except WebpError as exc:
+            raise Vp8Error(f"alpha VP8L stream: {exc}") from exc
+        alpha = (np.array(px, dtype=np.uint32).reshape(h, w) >> 8) \
+            .astype(np.int32) & 0xFF
+    else:
+        raise Vp8Error(f"reserved alpha compression {compression}")
+
+    if filt == 1:            # horizontal: left (first col: above)
+        for y in range(h):
+            if y:
+                alpha[y, 0] = (alpha[y, 0] + alpha[y - 1, 0]) & 0xFF
+            alpha[y] = np.cumsum(alpha[y]) & 0xFF
+    elif filt == 2:          # vertical: above (first row: left)
+        alpha[0] = np.cumsum(alpha[0]) & 0xFF
+        for y in range(1, h):
+            alpha[y] = (alpha[y] + alpha[y - 1]) & 0xFF
+    elif filt == 3:          # gradient: clip(left + above - above-left)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = int(alpha[0, x - 1])
+                elif x == 0:
+                    pred = int(alpha[y - 1, 0])
+                else:
+                    g = (int(alpha[y, x - 1]) + int(alpha[y - 1, x])
+                         - int(alpha[y - 1, x - 1]))
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+                alpha[y, x] = (alpha[y, x] + pred) & 0xFF
+    elif filt != 0:
+        raise Vp8Error(f"bad alpha filter {filt}")
+    return alpha.astype(np.uint8)
+
+
+def _find_alph_chunk(buf: bytes) -> bytes | None:
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        if cid == b"ALPH":
+            return buf[pos + 8 : pos + 8 + size]
+        if cid == b"VP8 ":          # ALPH precedes VP8 in the container
+            return None
+        if cid == b"ANMF" and size > 16:
+            inner = buf[pos + 8 + 16 : pos + 8 + size]
+            ipos = 0
+            while ipos + 8 <= len(inner):
+                icid = inner[ipos : ipos + 4]
+                isize = struct.unpack_from("<I", inner, ipos + 4)[0]
+                if icid == b"ALPH":
+                    return inner[ipos + 8 : ipos + 8 + isize]
+                if icid == b"VP8 ":
+                    return None
+                ipos += 8 + isize + (isize & 1)
+        pos += 8 + size + (size & 1)
+    return None

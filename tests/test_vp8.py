@@ -222,3 +222,106 @@ def test_decode_image_routes_lossy_webp():
     w, h, feats = decode_image(bytes(webp))
     assert (w, h) == (16, 16)
     assert feats[c >> 4] == pytest.approx(1.0)
+
+
+def _lib_decode_rgba(webp: bytes):
+    _LIB.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    _LIB.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = _LIB.WebPDecodeRGBA(webp, len(webp), ctypes.byref(w),
+                            ctypes.byref(h))
+    assert p
+    arr = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+    _LIB.WebPFree(ctypes.cast(p, ctypes.c_void_p))
+    return w.value, h.value, arr
+
+
+@needs_libwebp
+def test_alpha_plane_matches_libwebp():
+    """Lossy WebP with alpha (VP8X + ALPH + VP8 from WebPEncodeRGBA):
+    the ALPH plane is LOSSLESS, so my decoded alpha must equal
+    libwebp's byte-exact."""
+    _LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    rng = np.random.default_rng(5)
+    for (w, h, q) in [(32, 32, 75.0), (48, 40, 30.0), (17, 13, 90.0)]:
+        rgba = _photo(w, h, seed=int(q))
+        a = ((np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 3)
+             % 256).astype(np.uint8)
+        a[rng.integers(0, h, 10), rng.integers(0, w, 10)] = 0
+        img = np.dstack([rgba, a]).astype(np.uint8)
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = _LIB.WebPEncodeRGBA(img.tobytes(), w, h, w * 4, q,
+                                ctypes.byref(out))
+        assert n > 0
+        webp = ctypes.string_at(out, n)
+        _LIB.WebPFree(out)
+        W, H, ref = _lib_decode_rgba(webp)
+        gw, gh, px = decode_webp_lossy(webp)
+        assert (gw, gh) == (W, H) == (w, h)
+        mine = np.frombuffer(px, np.uint8).reshape(h, w, 4)
+        assert np.array_equal(mine[..., 3], ref[..., 3])
+
+
+def _alph_container(w, h, qi, alph_payload):
+    webp, _ = encode_vp8(w, h, bytes([100, 100, 100]) * (w * h), qi=qi)
+    webp = bytes(webp)
+    # splice an ALPH chunk before the VP8 chunk
+    vp8_at = webp.index(b"VP8 ")
+    chunk = b"ALPH" + len(alph_payload).to_bytes(4, "little") \
+        + alph_payload + (b"\x00" if len(alph_payload) & 1 else b"")
+    out = webp[:vp8_at] + chunk + webp[vp8_at:]
+    riff_len = len(out) - 8
+    return out[:4] + riff_len.to_bytes(4, "little") + out[8:]
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_alpha_raw_filters_roundtrip(filt):
+    """Raw ALPH with each per-pixel filter: the test applies the
+    FORWARD filter, the decoder must invert it exactly."""
+    w, h = 16, 16
+    alpha = ((np.arange(h)[:, None] * 11 + np.arange(w)[None, :] * 5
+              + 13) % 256).astype(np.int32)
+    delta = alpha.copy()
+    for y in range(h - 1, -1, -1):
+        for x in range(w - 1, -1, -1):
+            if x == 0 and y == 0:
+                pred = 0
+            elif filt == 1:
+                pred = int(alpha[y, x - 1]) if x else int(alpha[y - 1, 0])
+            elif filt == 2:
+                pred = int(alpha[y - 1, x]) if y else int(alpha[0, x - 1])
+            elif filt == 3:
+                if y == 0:
+                    pred = int(alpha[0, x - 1])
+                elif x == 0:
+                    pred = int(alpha[y - 1, 0])
+                else:
+                    g = (int(alpha[y, x - 1]) + int(alpha[y - 1, x])
+                         - int(alpha[y - 1, x - 1]))
+                    pred = min(255, max(0, g))
+            else:
+                pred = 0
+            delta[y, x] = (alpha[y, x] - pred) & 0xFF
+    payload = bytes([filt << 2]) + delta.astype(np.uint8).tobytes()
+    webp = _alph_container(w, h, 2, payload)
+    gw, gh, px = decode_webp_lossy(webp)
+    mine = np.frombuffer(px, np.uint8).reshape(h, w, 4)
+    assert np.array_equal(mine[..., 3], alpha.astype(np.uint8))
+
+
+def test_alpha_containment():
+    from livre_spark.functions.vp8 import _decode_alpha
+    with pytest.raises(Vp8Error):
+        _decode_alpha(b"", 8, 8)
+    with pytest.raises(Vp8Error):
+        _decode_alpha(b"\x00" + b"\x01" * 10, 8, 8)  # truncated raw
+    with pytest.raises(Vp8Error):
+        _decode_alpha(b"\x02" + b"\x00" * 64, 8, 8)  # reserved method
+    with pytest.raises(Vp8Error):
+        _decode_alpha(b"\x01\xff\xff", 8, 8)  # garbage VP8L stream
