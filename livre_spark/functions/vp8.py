@@ -1180,13 +1180,15 @@ def _write_coeffs(be, table, start_ctx, qcoeffs, first):
 
 
 def encode_vp8(width: int, height: int, rgb: bytes,
-               qi: int = 12) -> bytes:
+               qi: int = 12, n_parts: int = 1) -> bytes:
     """Deterministic lossy-WebP writer - ``decode_webp_lossy``'s twin
     (the repo-wide golden pattern).
 
     Intra-16x16 key frame: per-MB best-SAD luma mode (DC/V/H/TM over
     reconstructed borders), chroma DC, quantizer index ``qi``, loop
-    filter level 0, one token partition, default probabilities.  The
+    filter level 0, ``n_parts`` token partitions (1/2/4/8 - MB row r
+    writes to partition r % n_parts, per RFC 6386 9.5), default
+    probabilities.  The
     encoder runs the decoder's own reconstruction (same predictors,
     same integer IDCT/IWHT), so its output is exactly what
     ``decode_vp8`` will produce - tests compare decode against the
@@ -1195,6 +1197,8 @@ def encode_vp8(width: int, height: int, rgb: bytes,
     Returns (webp_bytes, (Y, U, V) reconstructed planes cropped)."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length mismatch")
+    if n_parts not in (1, 2, 4, 8):
+        raise ValueError("n_parts must be 1/2/4/8")
     arr = np.frombuffer(rgb, np.uint8).reshape(height, width, 3)
     # BT.601 full-range RGB -> YUV (inverse of yuv420_to_rgb)
     r = arr[..., 0].astype(np.float64)
@@ -1254,7 +1258,7 @@ def encode_vp8(width: int, height: int, rgb: bytes,
     be1.write_literal(6, 0)  # loop filter level 0
     be1.write_literal(3, 0)  # sharpness
     be1.write_bool(128, 0)  # lf deltas off
-    be1.write_literal(2, 0)  # one token partition
+    be1.write_literal(2, n_parts.bit_length() - 1)  # log2 partitions
     be1.write_literal(7, qi)
     for _ in range(5):
         be1.write_bool(128, 0)  # no quant deltas
@@ -1265,7 +1269,7 @@ def encode_vp8(width: int, height: int, rgb: bytes,
                 for k in range(11):
                     be1.write_bool(COEFF_UPDATE_PROBS[t][b_][c][k], 0)
     be1.write_bool(128, 0)  # mb_no_skip off (all MBs code tokens)
-    be_tok = BoolEncoder()     # token partition
+    be_toks = [BoolEncoder() for _ in range(n_parts)]
 
     # nonzero contexts (mirror of decode)
     a_y = [[0] * 4 for _ in range(mb_w)]
@@ -1282,6 +1286,7 @@ def encode_vp8(width: int, height: int, rgb: bytes,
                 np.round(_FWHT_M @ np.asarray(dcs, float).ravel())]
 
     for mby in range(mb_h):
+        be_tok = be_toks[mby % n_parts]
         l_y = [0] * 4
         l_u = [0] * 2
         l_v = [0] * 2
@@ -1382,7 +1387,10 @@ def encode_vp8(width: int, height: int, rgb: bytes,
                 _add_residuals(recp, cx, cy, cpred, deqs, 2)
 
     part1 = be1.finish()
-    tokens = be_tok.finish()
+    token_parts = [be.finish() for be in be_toks]
+    sizes = b"".join(len(tp).to_bytes(3, "little")
+                     for tp in token_parts[:-1])
+    tokens = sizes + b"".join(token_parts)
 
     tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
     frame = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))

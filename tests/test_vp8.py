@@ -325,3 +325,25 @@ def test_alpha_containment():
         _decode_alpha(b"\x02" + b"\x00" * 64, 8, 8)  # reserved method
     with pytest.raises(Vp8Error):
         _decode_alpha(b"\x01\xff\xff", 8, 8)  # garbage VP8L stream
+
+
+@pytest.mark.parametrize("n_parts", [2, 4, 8])
+def test_multi_partition_token_streams(n_parts):
+    """nparts>1 (MB row r % nparts partition routing + the 3-byte size
+    table): decode matches the encoder recon, and libwebp (when
+    present) agrees byte-exact."""
+    rng = np.random.default_rng(n_parts)
+    img = ((rng.integers(0, 256, size=(72, 48, 3)) // 3) + 70) \
+        .astype(np.uint8)
+    webp, (Ye, Ue, Ve) = encode_vp8(48, 72, img.tobytes(), qi=20,
+                                    n_parts=n_parts)
+    W, H, Yd, Ud, Vd = decode_vp8(_find_vp8_chunk(webp))
+    assert (W, H) == (48, 72)
+    assert np.array_equal(Ye, Yd)
+    assert np.array_equal(Ue, Ud)
+    assert np.array_equal(Ve, Vd)
+    if _LIB is not None:
+        Wr, Hr, Yr, Ur, Vr = _ref_decode_yuv(bytes(webp))
+        assert np.array_equal(Ye, Yr)
+        assert np.array_equal(Ue, Ur)
+        assert np.array_equal(Ve, Vr)
