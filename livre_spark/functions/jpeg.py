@@ -15,8 +15,10 @@ BT.601 YCbCr->RGB run once at the end, so progressive and baseline
 files carrying the same coefficients decode BYTE-IDENTICALLY - the
 property the fixtures pin.  Grayscale, 3-component YCbCr at any
 baseline sampling grid (4:4:4, 4:2:2, 4:2:0) and Adobe 4-component
-CMYK/YCCK (APP14 transform, inverted-ink convention); arithmetic
-coding and 12-bit precision raise ``NotImplementedError`` - ``jpeg_dimensions``
+CMYK/YCCK (APP14 transform, inverted-ink convention); 12-bit
+precision (SOF1 extended sequential / SOF2 progressive: DC categories
+to 15, 16-bit DQT, output reduced to 8-bit before color conversion);
+arithmetic coding raises ``NotImplementedError`` - ``jpeg_dimensions``
 still recovers width/height from ANY SOFn header so those rows keep
 their metadata.
 
@@ -264,10 +266,12 @@ def _all_segments(buf: bytes):
 
 
 def _block_baseline(reader: _BitReader, dc: _HuffTable, ac: _HuffTable,
-                    coef: np.ndarray, pred: int) -> int:
-    """Sequential full-band block: DC diff + AC run-length."""
+                    coef: np.ndarray, pred: int,
+                    dc_max: int = 11) -> int:
+    """Sequential full-band block: DC diff + AC run-length.  ``dc_max``
+    is 11 for 8-bit precision, 15 for 12-bit (T.81 F.1.2.1.2)."""
     size = reader.huff(dc)
-    if size > 11:
+    if size > dc_max:
         raise JpegError("DC size out of range")
     pred += _extend(reader.bits(size), size)
     coef[0] = pred
@@ -289,9 +293,9 @@ def _block_baseline(reader: _BitReader, dc: _HuffTable, ac: _HuffTable,
 
 
 def _dc_first(reader: _BitReader, dc: _HuffTable, coef: np.ndarray,
-              pred: int, al: int) -> int:
+              pred: int, al: int, dc_max: int = 11) -> int:
     size = reader.huff(dc)
-    if size > 11:
+    if size > dc_max:
         raise JpegError("DC size out of range")
     pred += _extend(reader.bits(size), size)
     coef[0] = pred << al
@@ -409,6 +413,7 @@ def _decode_scan(buf: bytes, scan: dict, frame: dict, progressive: bool,
             raise JpegError("missing DHT table")
     reader = _BitReader(buf, scan["pos"])
     dri = scan["dri"]
+    dc_max = 15 if frame.get("prec", 8) == 12 else 11
     pred = [0] * len(sel)
     eobrun = 0
     count = 0
@@ -431,10 +436,12 @@ def _decode_scan(buf: bytes, scan: dict, frame: dict, progressive: bool,
                                              mx * c["h"] + bx]
                             if not progressive:
                                 pred[si] = _block_baseline(
-                                    reader, dc, ac, coef, pred[si])
+                                    reader, dc, ac, coef, pred[si],
+                                    dc_max)
                             elif ah == 0:
                                 pred[si] = _dc_first(reader, dc, coef,
-                                                     pred[si], al)
+                                                     pred[si], al,
+                                                     dc_max)
                             else:
                                 _dc_refine(reader, coef, al)
                 count += 1
@@ -446,10 +453,11 @@ def _decode_scan(buf: bytes, scan: dict, frame: dict, progressive: bool,
                 coef = c["coef"][by, bx]
                 if not progressive:
                     pred[0] = _block_baseline(reader, dc, ac, coef,
-                                              pred[0])
+                                              pred[0], dc_max)
                 elif ss == 0:
                     if ah == 0:
-                        pred[0] = _dc_first(reader, dc, coef, pred[0], al)
+                        pred[0] = _dc_first(reader, dc, coef, pred[0],
+                                            al, dc_max)
                     else:
                         _dc_refine(reader, coef, al)
                 elif ah == 0:
@@ -522,7 +530,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
             if len(payload) < 6:
                 raise JpegError("short SOF")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"JPEG precision {prec}")
             if nc not in (1, 3, 4):
                 raise NotImplementedError(f"JPEG {nc}-component")
@@ -534,7 +542,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                                                  6 + 3 * ci)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            frame = {"w": w, "h": h, "comps": comps, "prec": prec}
         elif marker == 0xDD:  # DRI
             if len(payload) < 2:
                 raise JpegError("short DRI")
@@ -598,10 +606,16 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
             raise JpegError("missing DQT table")
         bh_pad, bw_pad = c["coef"].shape[:2]
         blocks = (c["coef"].reshape(-1, 8, 8) * q).astype(np.float64)
+        prec = frame.get("prec", 8)
         spatial = np.einsum("ij,njk,kl->nil", _DCT.T, blocks,
-                            _DCT) + 128.0
+                            _DCT) + float(1 << (prec - 1))
         p = (spatial.reshape(bh_pad, bw_pad, 8, 8)
              .transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8))
+        if prec == 12:
+            # reduce to the 8-bit domain BEFORE color conversion (the
+            # chroma center 2048 lands on 128, so downstream math -
+            # BT.601, CMYK inversion, clipping - is precision-agnostic)
+            p = p / 16.0
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
@@ -668,7 +682,8 @@ def _size_of(v: int) -> int:
 
 
 def _plan_coefficients(width: int, height: int, pixels: bytes,
-                       gray: bool, subsampling: str, quant: int):
+                       gray: bool, subsampling: str, quant: int,
+                       bits: int = 8):
     """Shared encoder front half: color transform, chroma subsample,
     MCU padding, forward DCT + quantize.  Returns (samp, comp_blocks,
     q, mcux, mcuy) with comp_blocks[ci] an (bh_pad, bw_pad, 8, 8) int32
@@ -717,8 +732,13 @@ def _plan_coefficients(width: int, height: int, pixels: bytes,
         blocks = np.zeros((mcuy * vs, mcux * hs, 8, 8), dtype=np.int32)
         for by in range(mcuy * vs):
             for bx in range(mcux * hs):
-                block = padded[by * 8 : by * 8 + 8,
-                               bx * 8 : bx * 8 + 8] - 128.0
+                block = (padded[by * 8 : by * 8 + 8,
+                                bx * 8 : bx * 8 + 8] - 128.0)
+                if bits == 12:
+                    # 8-bit input scaled x16 into the 12-bit domain
+                    # (level shift 2048 = 16*128), so quant=1 decode
+                    # reduces back to the input exactly
+                    block = block * 16.0
                 blocks[by, bx] = np.rint(dct2(block) / q).astype(np.int32)
         comp_blocks.append(blocks)
     return samp, comp_blocks, q, mcux, mcuy
@@ -726,15 +746,21 @@ def _plan_coefficients(width: int, height: int, pixels: bytes,
 
 def encode_jpeg(width: int, height: int, pixels: bytes, *,
                 gray: bool = False, subsampling: str = "444",
-                quant: int = 1, restart_interval: int = 0) -> bytes:
+                quant: int = 1, restart_interval: int = 0,
+                bits: int = 8) -> bytes:
     """Deterministic baseline JPEG from 8-bit samples (RGB or gray).
 
     ``quant`` fills both quantizer tables uniformly: 1 keeps DCT
     coefficients to rounding precision (constant-color images become
-    exact), larger values exercise real quantization loss."""
+    exact), larger values exercise real quantization loss.  ``bits=12``
+    writes an extended-sequential 12-bit-precision frame (SOF1, 16-bit
+    DQT, DC categories up to 15) from the same 8-bit input scaled x16 -
+    the decoder reduces back to 8-bit, so goldens stay comparable."""
+    if bits not in (8, 12):
+        raise ValueError("bits must be 8 or 12")
     nc = 1 if gray else 3
     samp, comp_blocks, q, mcux, mcuy = _plan_coefficients(
-        width, height, pixels, gray, subsampling, quant)
+        width, height, pixels, gray, subsampling, quant, bits=bits)
     mcus: list[list[tuple[int, np.ndarray]]] = []
     for my in range(mcuy):
         for mx in range(mcux):
@@ -788,11 +814,18 @@ def encode_jpeg(width: int, height: int, pixels: bytes, *,
 
     zz_q = np.empty(64, dtype=np.int32)
     zz_q[:] = q.reshape(64)[ZIGZAG]
-    seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
-    sof = bytearray(struct.pack(">BHHB", 8, height, width, nc))
+    if bits == 12:
+        # 12-bit frames carry 16-bit DQT values (pq=1), exercising the
+        # decoder's wide-table branch end-to-end
+        seg(0xDB, bytes([0x10]) + b"".join(
+            struct.pack(">H", int(v)) for v in zz_q))
+    else:
+        seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
+    sof = bytearray(struct.pack(">BHHB", bits, height, width, nc))
     for ci, (hs, vs) in enumerate(samp):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
-    seg(0xC0, bytes(sof))
+    # extended sequential (SOF1) for 12-bit, baseline (SOF0) for 8
+    seg(0xC1 if bits == 12 else 0xC0, bytes(sof))
     seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_symbols)
     seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_symbols)
     if restart_interval:
@@ -1150,15 +1183,18 @@ def _emit_seq_blocks(dc_out, ac_out, bit_out, blocks) -> None:
 
 def encode_jpeg_multiscan(width: int, height: int, pixels: bytes, *,
                           gray: bool = False, subsampling: str = "444",
-                          quant: int = 1) -> bytes:
+                          quant: int = 1, bits: int = 8) -> bytes:
     """SEQUENTIAL multi-scan twin of ``encode_jpeg``: one
     non-interleaved scan per component (the common scanner layout),
     per-scan Huffman tables, each scan walking the component's OWN
     block grid.  Decodes byte-identically to the interleaved baseline
-    (the MCU-padding blocks it leaves uncoded sit outside the crop)."""
+    (the MCU-padding blocks it leaves uncoded sit outside the crop).
+    ``bits=12`` mirrors ``encode_jpeg``'s 12-bit mode."""
+    if bits not in (8, 12):
+        raise ValueError("bits must be 8 or 12")
     nc = 1 if gray else 3
     samp, comp_blocks, q, mcux, mcuy = _plan_coefficients(
-        width, height, pixels, gray, subsampling, quant)
+        width, height, pixels, gray, subsampling, quant, bits=bits)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
 
@@ -1170,11 +1206,18 @@ def encode_jpeg_multiscan(width: int, height: int, pixels: bytes, *,
 
     zz_q = np.empty(64, dtype=np.int32)
     zz_q[:] = q.reshape(64)[ZIGZAG]
-    seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
-    sof = bytearray(struct.pack(">BHHB", 8, height, width, nc))
+    if bits == 12:
+        # 12-bit frames carry 16-bit DQT values (pq=1), exercising the
+        # decoder's wide-table branch end-to-end
+        seg(0xDB, bytes([0x10]) + b"".join(
+            struct.pack(">H", int(v)) for v in zz_q))
+    else:
+        seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
+    sof = bytearray(struct.pack(">BHHB", bits, height, width, nc))
     for ci, (hs, vs) in enumerate(samp):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
-    seg(0xC0, bytes(sof))
+    # extended sequential (SOF1) for 12-bit, baseline (SOF0) for 8
+    seg(0xC1 if bits == 12 else 0xC0, bytes(sof))
 
     for ci, (hs, vs) in enumerate(samp):
         comp_w = (width * hs + hmax - 1) // hmax

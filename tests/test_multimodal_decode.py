@@ -966,3 +966,53 @@ def test_tiff_planar_containment():
             _s.pack_into("<H", b, off, 322)  # strip offsets -> tile w
     with pytest.raises((NotImplementedError, ValueError)):
         decode_image(bytes(b))
+
+
+@pytest.mark.parametrize("sub, rst", [("444", 0), ("420", 2), ("422", 0)])
+def test_jpeg_12bit_golden(sub, rst):
+    """12-bit extended-sequential JPEG (SOF1, 16-bit DQT, DC categories
+    past the 8-bit 11 cap): quant=1 roundtrips the x16-scaled samples
+    exactly back to the 8-bit input after the decoder's 12->8
+    reduction."""
+    from livre_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    w, h = 17, 24
+    px = _gradient(w * h * 3)
+    buf = encode_jpeg(w, h, px, bits=12, subsampling=sub,
+                      restart_interval=rst)
+    gw, gh, out = decode_jpeg(buf)
+    assert (gw, gh) == (w, h)
+    if sub == "444":
+        assert out == px          # chroma untouched -> exact
+    else:
+        got = decode_image(buf)
+        assert got[0] == w and got[1] == h
+    # the full decode_image path routes and features it
+    gw, gh, feats = decode_image(buf)
+    assert (gw, gh) == (w, h)
+
+
+def test_jpeg_12bit_gray_and_containment():
+    from livre_spark.functions.jpeg import (
+        JpegError, decode_jpeg, encode_jpeg,
+    )
+    g = bytes(range(64))
+    buf = encode_jpeg(8, 8, g, gray=True, bits=12)
+    assert decode_jpeg(buf)[2] == g
+    # hostile precision byte stays a boundary
+    import struct as _s
+    b = bytearray(buf)
+    at = b.index(b"\xff\xc1") + 4
+    b[at] = 10
+    with pytest.raises((NotImplementedError, JpegError)):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_12bit_multiscan_matches_interleaved():
+    from livre_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_multiscan,
+    )
+    w, h = 17, 13
+    px = _gradient(w * h * 3)
+    a = decode_jpeg(encode_jpeg(w, h, px, bits=12))
+    b = decode_jpeg(encode_jpeg_multiscan(w, h, px, bits=12))
+    assert a == b
