@@ -45,10 +45,15 @@ class JpegError(ValueError):
 
 def _zigzag() -> list[int]:
     """Natural-order index for each zigzag position (generated, not
-    transcribed)."""
-    order = sorted(((r + c, (c, r) if (r + c) % 2 else (r, c))
+    transcribed): T.81 alternates the traversal direction per
+    anti-diagonal - odd diagonals walk down-left (increasing row),
+    even diagonals up-right (decreasing row).  The round-5 version
+    mis-ordered the even diagonals (the coordinate swap meant to flip
+    the sort also transposed the emitted position); the twin-only
+    goldens were blind to it, libjpeg cross-validation was not."""
+    order = sorted(((r + c, r if (r + c) % 2 else -r, r, c)
                     for r in range(8) for c in range(8)))
-    return [r * 8 + c for _, (r, c) in order]
+    return [r * 8 + c for _, _, r, c in order]
 
 
 ZIGZAG = _zigzag()  # zigzag position -> natural index
@@ -469,6 +474,483 @@ def _decode_scan(buf: bytes, scan: dict, frame: dict, progressive: bool,
                 count += 1
 
 
+# --- arithmetic entropy coding (T.81 Annex D QM-coder + F.1.4/G models) -----
+
+# QM-coder probability estimation state machine (ITU T.81 Table D.3
+# + the non-adapting index-113 'fixed' state): (Qe, NLPS, NMPS, SW)
+ARITH_QE = (
+    (23069, 1, 1, 1),
+    (9606, 14, 2, 0),
+    (4372, 16, 3, 0),
+    (2059, 18, 4, 0),
+    (984, 20, 5, 0),
+    (474, 23, 6, 0),
+    (229, 25, 7, 0),
+    (111, 28, 8, 0),
+    (54, 30, 9, 0),
+    (26, 33, 10, 0),
+    (13, 35, 11, 0),
+    (6, 9, 12, 0),
+    (3, 10, 13, 0),
+    (1, 12, 13, 0),
+    (23167, 15, 15, 1),
+    (16165, 36, 16, 0),
+    (11506, 38, 17, 0),
+    (8316, 39, 18, 0),
+    (6073, 40, 19, 0),
+    (4482, 42, 20, 0),
+    (3311, 43, 21, 0),
+    (2465, 45, 22, 0),
+    (1839, 46, 23, 0),
+    (1372, 48, 24, 0),
+    (1030, 49, 25, 0),
+    (771, 51, 26, 0),
+    (576, 52, 27, 0),
+    (433, 54, 28, 0),
+    (324, 56, 29, 0),
+    (245, 57, 30, 0),
+    (183, 59, 31, 0),
+    (138, 60, 32, 0),
+    (104, 62, 33, 0),
+    (78, 63, 34, 0),
+    (59, 32, 35, 0),
+    (44, 33, 9, 0),
+    (23265, 37, 37, 1),
+    (18508, 64, 38, 0),
+    (14861, 65, 39, 0),
+    (12017, 67, 40, 0),
+    (9759, 68, 41, 0),
+    (7987, 69, 42, 0),
+    (6568, 70, 43, 0),
+    (5400, 72, 44, 0),
+    (4471, 73, 45, 0),
+    (3700, 74, 46, 0),
+    (3067, 75, 47, 0),
+    (2552, 77, 48, 0),
+    (2145, 78, 49, 0),
+    (1798, 79, 50, 0),
+    (1485, 48, 51, 0),
+    (1246, 50, 52, 0),
+    (1039, 50, 53, 0),
+    (867, 51, 54, 0),
+    (724, 52, 55, 0),
+    (604, 53, 56, 0),
+    (504, 54, 57, 0),
+    (420, 55, 58, 0),
+    (352, 56, 59, 0),
+    (293, 57, 60, 0),
+    (246, 58, 61, 0),
+    (203, 59, 62, 0),
+    (171, 61, 63, 0),
+    (143, 61, 32, 0),
+    (23314, 65, 65, 1),
+    (19716, 80, 66, 0),
+    (16684, 81, 67, 0),
+    (14296, 82, 68, 0),
+    (12264, 83, 69, 0),
+    (10556, 84, 70, 0),
+    (9081, 86, 71, 0),
+    (7903, 87, 72, 0),
+    (6825, 87, 73, 0),
+    (5966, 72, 74, 0),
+    (5156, 72, 75, 0),
+    (4508, 74, 76, 0),
+    (3947, 74, 77, 0),
+    (3409, 75, 78, 0),
+    (2998, 77, 79, 0),
+    (2624, 77, 48, 0),
+    (22578, 80, 81, 1),
+    (19740, 88, 82, 0),
+    (17294, 89, 83, 0),
+    (15325, 90, 84, 0),
+    (13550, 91, 85, 0),
+    (11950, 92, 86, 0),
+    (10650, 93, 87, 0),
+    (9494, 86, 71, 0),
+    (21872, 88, 89, 1),
+    (19625, 95, 90, 0),
+    (17625, 96, 91, 0),
+    (15906, 97, 92, 0),
+    (14372, 99, 93, 0),
+    (12980, 99, 94, 0),
+    (11799, 93, 86, 0),
+    (22184, 95, 96, 1),
+    (20294, 101, 97, 0),
+    (18405, 102, 98, 0),
+    (16847, 103, 99, 0),
+    (15421, 104, 100, 0),
+    (14174, 99, 93, 0),
+    (21041, 105, 102, 0),
+    (19471, 106, 103, 0),
+    (17977, 107, 104, 0),
+    (16734, 103, 99, 0),
+    (22055, 105, 106, 1),
+    (20711, 108, 107, 0),
+    (19333, 109, 103, 0),
+    (21911, 110, 109, 0),
+    (20559, 111, 107, 0),
+    (23056, 110, 111, 1),
+    (21794, 112, 109, 0),
+    (23019, 112, 111, 1),
+    (23069, 113, 113, 0),
+)
+
+
+class _ArithDecoder:
+    """T.81 QM-coder decoder over one entropy-coded segment.
+
+    Byte semantics match conformant JPEG streams (validated against
+    libjpeg-produced files coefficient-exact in tests): a 0xFF data
+    byte travels stuffed as FF 00; FF followed by anything else is a
+    marker, after which the decoder feeds zero bytes."""
+
+    __slots__ = ("buf", "pos", "c", "a", "ct", "hit_marker")
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.c = 0
+        self.a = 0
+        self.ct = -16   # forces the two initial byte fetches
+        self.hit_marker = False
+
+    def _next_byte(self) -> int:
+        if self.hit_marker:
+            return 0
+        buf = self.buf
+        if self.pos >= len(buf):
+            self.hit_marker = True
+            return 0
+        data = buf[self.pos]
+        self.pos += 1
+        if data == 0xFF:
+            while self.pos < len(buf) and buf[self.pos] == 0xFF:
+                self.pos += 1
+            if self.pos < len(buf) and buf[self.pos] == 0:
+                self.pos += 1      # stuffing byte: 0xFF is data
+                return 0xFF
+            self.hit_marker = True  # real marker: zero-feed from here
+            self.pos -= 1           # leave pos at the 0xFF
+            return 0
+        return data
+
+    def decode(self, st: bytearray, i: int) -> int:
+        # renormalization + byte input happen on ENTRY (the previous
+        # call may have left A < 0x8000)
+        a = self.a
+        while a < 0x8000:
+            self.ct -= 1
+            if self.ct < 0:
+                self.c = (self.c << 8) | self._next_byte()
+                self.ct += 8
+                if self.ct < 0:
+                    self.ct += 1
+                    if self.ct == 0:
+                        a = 0x8000
+            a <<= 1
+        sv = st[i]
+        qe, nlps, nmps, sw = ARITH_QE[sv & 0x7F]
+        a -= qe
+        temp = a << self.ct
+        if self.c < temp:
+            if a < 0x8000:
+                if a < qe:      # conditional MPS/LPS exchange
+                    bit = 1 - (sv >> 7)
+                    st[i] = ((sv ^ (sw << 7)) & 0x80) | nlps
+                else:
+                    bit = sv >> 7
+                    st[i] = (sv & 0x80) | nmps
+            else:
+                self.a = a
+                return sv >> 7
+        else:
+            self.c -= temp
+            if a < qe:
+                bit = sv >> 7
+                st[i] = (sv & 0x80) | nmps
+            else:
+                bit = 1 - (sv >> 7)
+                st[i] = ((sv ^ (sw << 7)) & 0x80) | nlps
+            a = qe
+        self.a = a
+        return bit
+
+
+class _ArithEncoder:
+    """T.81 QM-coder encoder (D.1) - the decoder's exact twin, pinned
+    by random-sequence roundtrips and by libjpeg decoding its output
+    coefficient-exact."""
+
+    __slots__ = ("a", "c", "ct", "raw")
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.raw = bytearray()
+
+    def _carry(self):
+        j = len(self.raw) - 1
+        while j >= 0 and self.raw[j] == 0xFF:
+            self.raw[j] = 0
+            j -= 1
+        if j >= 0:
+            self.raw[j] += 1
+
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        sv = st[i]
+        qe, nlps, nmps, sw = ARITH_QE[sv & 0x7F]
+        self.a -= qe
+        if bit != (sv >> 7):
+            # LPS; conditional exchange when the MPS interval is smaller
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = ((sv ^ (sw << 7)) & 0x80) | nlps
+        else:
+            if self.a >= 0x8000:
+                return                      # no renorm, no estimation
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) | nmps
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                temp = self.c >> 19
+                if temp > 0xFF:
+                    self._carry()
+                    self.raw.append(temp & 0xFF)
+                else:
+                    self.raw.append(temp)
+                self.c &= 0x7FFFF
+                self.ct = 8
+            if self.a >= 0x8000:
+                break
+
+    def finish(self) -> bytes:
+        # D.1.8: choose the codeword with the most trailing zeros
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            self._carry()
+        self.raw.append((self.c >> 19) & 0xFF)
+        self.raw.append((self.c >> 11) & 0xFF)
+        # drop trailing zero bytes (the decoder zero-feeds past the
+        # marker anyway), then stuff FF -> FF 00
+        while self.raw and self.raw[-1] == 0:
+            self.raw.pop()
+        out = bytearray()
+        for b in self.raw:
+            out.append(b)
+            if b == 0xFF:
+                out.append(0)
+        return bytes(out)
+
+
+_ARITH_FIXED = 113  # the non-adapting ~0.5 state (Qe 0x5A1D, no moves)
+
+
+def _decode_scan_arith(buf: bytes, scan: dict, frame: dict,
+                       progressive: bool, mcux: int, mcuy: int) -> None:
+    """Arithmetic-coded scan (SOF9 sequential / SOF10 progressive):
+    the QM decision models of T.81 F.1.4 (DC sign/magnitude trees with
+    L/U difference conditioning, AC per-index EOB/run/magnitude bins
+    with the Kx split) and G.2 (progressive first/refinement passes).
+    Statistics reset at scan start and at every restart, per F.1.4.4.
+    """
+    byid = {c["id"]: c for c in frame["comps"]}
+    sel = []
+    for cid, td, ta in scan["sel"]:
+        c = byid.get(cid)
+        if c is None:
+            raise JpegError("scan/frame component mismatch")
+        sel.append((c, td, ta))
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if progressive:
+        if ss > se or se > 63 or (ss == 0) != (se == 0):
+            raise JpegError("bad spectral band")
+        if ss > 0 and len(sel) != 1:
+            raise JpegError("interleaved AC scan")
+    elif not (ss == 0 and se == 63 and ah == 0 and al == 0):
+        raise NotImplementedError("multi-band sequential arith scan")
+    cond = scan["cond"]
+
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    fixed = bytearray([_ARITH_FIXED])
+
+    def reset_stats():
+        for _c, td, ta in sel:
+            dc_stats[td] = bytearray(64)
+            ac_stats[ta] = bytearray(256)
+        fixed[0] = _ARITH_FIXED
+
+    def decode_dc(dec, c, td):
+        """Sequential / progressive-first DC difference (F.1.4.4.1)."""
+        L, U = cond.get((0, td), (0, 1))
+        st = dc_stats[td]
+        s0 = c["dc_ctx"]
+        if not dec.decode(st, s0):
+            c["dc_ctx"] = 0
+            return 0
+        sign = dec.decode(st, s0 + 1)
+        sp = s0 + 2 + sign
+        m = dec.decode(st, sp)
+        if m:
+            sp = 20
+            while dec.decode(st, sp):
+                m <<= 1
+                if m == 0x8000:
+                    raise JpegError("arith DC magnitude overflow")
+                sp += 1
+        if m < (1 << L) >> 1:
+            c["dc_ctx"] = 0
+        elif m > (1 << U) >> 1:
+            c["dc_ctx"] = 12 + sign * 4
+        else:
+            c["dc_ctx"] = 4 + sign * 4
+        v = m
+        sp += 14
+        while m:
+            m >>= 1
+            if m and dec.decode(st, sp):
+                v |= m
+        v += 1
+        return -v if sign else v
+
+    def decode_ac_run(dec, ta, coef, k_from, k_to, shift):
+        """Sequential full-band / progressive-first AC (F.1.4.4.2)."""
+        kx = cond.get((1, ta), 5)
+        st = ac_stats[ta]
+        k = k_from
+        while k <= k_to:
+            base = 3 * (k - 1)
+            if dec.decode(st, base):
+                break                      # EOB
+            while not dec.decode(st, base + 1):
+                base += 3
+                k += 1
+                if k > k_to:
+                    raise JpegError("arith AC run overflow")
+            sign = dec.decode(fixed, 0)
+            sp = base + 2
+            m = dec.decode(st, sp)
+            if m:
+                if dec.decode(st, sp):
+                    m = 2
+                    sp = 189 if k <= kx else 217
+                    while dec.decode(st, sp):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise JpegError(
+                                "arith AC magnitude overflow")
+                        sp += 1
+            v = m
+            sp += 14
+            while m:
+                m >>= 1
+                if m and dec.decode(st, sp):
+                    v |= m
+            v += 1
+            coef[ZIGZAG[k]] = (-v if sign else v) << shift
+            k += 1
+
+    def decode_ac_refine(dec, ta, coef, p1, m1):
+        st = ac_stats[ta]
+        kex = se
+        while kex > 0 and coef[ZIGZAG[kex]] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if k > kex and dec.decode(st, base):
+                break                      # EOB
+            while True:
+                cur = int(coef[ZIGZAG[k]])
+                if cur:
+                    if dec.decode(st, base + 2):
+                        coef[ZIGZAG[k]] = cur + (m1 if cur < 0 else p1)
+                    break
+                if dec.decode(st, base + 1):
+                    coef[ZIGZAG[k]] = m1 if dec.decode(fixed, 0)                         else p1
+                    break
+                base += 3
+                k += 1
+                if k > se:
+                    raise JpegError("arith AC refine overflow")
+            k += 1
+
+    dri = scan["dri"]
+    for c, _td, _ta in sel:
+        c["dc_ctx"] = 0
+        c["dc_pred"] = 0
+    reset_stats()
+    dec = _ArithDecoder(buf, scan["pos"])
+    count = 0
+
+    def maybe_restart():
+        nonlocal dec
+        if dri and count and count % dri == 0:
+            # skip to just past the RSTn marker, reinit everything
+            p = dec.pos
+            while p + 1 < len(buf) and not (
+                    buf[p] == 0xFF and 0xD0 <= buf[p + 1] <= 0xD7):
+                p += 1
+            if p + 1 >= len(buf):
+                raise JpegError("missing restart marker")
+            reset_stats()
+            for c, _td, _ta in sel:
+                c["dc_ctx"] = 0
+                c["dc_pred"] = 0
+            dec = _ArithDecoder(buf, p + 2)
+
+    needs_dc = ss == 0
+    if len(sel) > 1 or not progressive:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for c, td, ta in sel:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = c["coef"][my * c["v"] + by,
+                                             mx * c["h"] + bx]
+                            if not progressive:
+                                c["dc_pred"] += decode_dc(dec, c, td)
+                                coef[0] = c["dc_pred"]
+                                decode_ac_run(dec, ta, coef, 1, 63, 0)
+                            elif ah == 0:
+                                c["dc_pred"] += decode_dc(dec, c, td)
+                                coef[0] = c["dc_pred"] << al
+                            else:
+                                if dec.decode(fixed, 0):
+                                    coef[0] = int(coef[0]) | (1 << al)
+                count += 1
+    else:
+        c, td, ta = sel[0]
+        p1 = 1 << al
+        m1 = (-1) << al
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                maybe_restart()
+                coef = c["coef"][by, bx]
+                if needs_dc:
+                    if ah == 0:
+                        c["dc_pred"] += decode_dc(dec, c, td)
+                        coef[0] = c["dc_pred"] << al
+                    else:
+                        if dec.decode(fixed, 0):
+                            coef[0] = int(coef[0]) | (1 << al)
+                elif ah == 0:
+                    decode_ac_run(dec, ta, coef, ss, se, al)
+                else:
+                    decode_ac_refine(dec, ta, coef, p1, m1)
+                count += 1
+
+
 def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     """Baseline OR progressive JPEG -> (width, height, 8-bit samples);
     1 component stays grayscale, 3 components convert YCbCr->RGB.
@@ -480,8 +962,10 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     BYTE-IDENTICAL samples - the property the fixtures pin."""
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
+    arith_cond: dict[tuple[int, int], object] = {}   # DAC conditioning
     frame = None
     progressive = False
+    arith = False
     restart_interval = 0
     adobe_transform = None
     scans: list[dict] = []
@@ -525,6 +1009,12 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 progressive = False
             elif marker == 0xC2:
                 progressive = True
+            elif marker == 0xC9:   # extended sequential, arithmetic
+                progressive = False
+                arith = True
+            elif marker == 0xCA:   # progressive, arithmetic
+                progressive = True
+                arith = True
             else:
                 raise NotImplementedError(f"JPEG SOF{marker - 0xC0}")
             if len(payload) < 6:
@@ -543,6 +1033,21 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "prec": prec}
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 2 <= len(payload):
+                tc, tb = payload[i] >> 4, payload[i] & 0x0F
+                v = payload[i + 1]
+                if tc == 0:
+                    lo, hi = v & 0x0F, v >> 4
+                    if lo > hi:
+                        raise JpegError("bad DAC DC conditioning")
+                    arith_cond[(0, tb)] = (lo, hi)
+                else:
+                    if not 1 <= v <= 63:
+                        raise JpegError("bad DAC Kx")
+                    arith_cond[(1, tb)] = v
+                i += 2
         elif marker == 0xDD:  # DRI
             if len(payload) < 2:
                 raise JpegError("short DRI")
@@ -566,6 +1071,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                           "ah": ahal >> 4, "al": ahal & 0x0F,
                           "pos": ppos + len(payload),
                           "huff": dict(htables),
+                          "cond": dict(arith_cond),
                           "dri": restart_interval})
     if frame is None or not scans:
         raise JpegError("missing SOF/SOS")
@@ -598,7 +1104,11 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
         c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64),
                              dtype=np.int32)
     for scan in scans:
-        _decode_scan(buf, scan, frame, progressive, mcux, mcuy)
+        if arith:
+            _decode_scan_arith(buf, scan, frame, progressive, mcux,
+                               mcuy)
+        else:
+            _decode_scan(buf, scan, frame, progressive, mcux, mcuy)
     out_planes = []
     for c in comps:
         q = qtables.get(c["tq"])

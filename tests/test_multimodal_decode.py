@@ -263,9 +263,10 @@ def test_jpeg_through_decode_image():
     assert feats == _expected_features(px)
 
 
-def test_jpeg_dimensions_and_arithmetic_metadata():
-    """SOF9 (arithmetic) rows keep width/height metadata while the
-    decode error is recorded - the header scan works on any SOFn."""
+def test_jpeg_dimensions_and_lossless_metadata():
+    """SOF3 (lossless - still a boundary) rows keep width/height
+    metadata while the decode error is recorded - the header scan
+    works on any SOFn.  (SOF9/SOF10 arithmetic DECODE for real now.)"""
     from livre_spark.functions.jpeg import (
         decode_jpeg, encode_jpeg, jpeg_dimensions,
     )
@@ -273,9 +274,9 @@ def test_jpeg_dimensions_and_arithmetic_metadata():
     buf = bytearray(encode_jpeg(24, 17, _smooth_rgb(24, 17)))
     assert jpeg_dimensions(bytes(buf)) == (24, 17, 3)
     assert image_dimensions(bytes(buf)) == (24, 17)
-    # flip SOF0 -> SOF9: dimensions still parse, decode refuses
+    # flip SOF0 -> SOF3: dimensions still parse, decode refuses
     sof = bytes(buf).index(b"\xff\xc0")
-    buf[sof + 1] = 0xC9
+    buf[sof + 1] = 0xC3
     assert jpeg_dimensions(bytes(buf)) == (24, 17, 3)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
@@ -325,14 +326,14 @@ def test_jpeg_progressive_through_decode_image():
 
 
 def test_unsupported_codec_rows_keep_header_dimensions():
-    """media_feature_batches: an arithmetic-coded JPEG lands with
+    """media_feature_batches: a lossless-JPEG (SOF3 boundary) row lands with
     width/height populated AND the error recorded."""
     import pandas as pd
     from livre_spark.functions.jpeg import encode_jpeg
     from livre_spark.functions.multimodal import media_feature_batches
     buf = bytearray(encode_jpeg(24, 17, _smooth_rgb(24, 17)))
     sof = bytes(buf).index(b"\xff\xc0")
-    buf[sof + 1] = 0xC9
+    buf[sof + 1] = 0xC3
     batch = pd.DataFrame({"media_id": [1], "kind": ["image"],
                           "content": [bytes(buf)]})
     (out,) = list(media_feature_batches(iter([batch]), fake=False))
