@@ -340,7 +340,7 @@ def test_unsupported_codec_rows_keep_header_dimensions():
     row = out.iloc[0]
     assert (row["width"], row["height"]) == (24, 17)
     assert row["features"] is None
-    assert "SOF9" in row["error"]
+    assert "SOF3" in row["error"]
 
 
 # --- GIF goldens -------------------------------------------------------------
