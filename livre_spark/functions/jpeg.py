@@ -1152,6 +1152,151 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     return w, h, samples.tobytes()
 
 
+# --- arithmetic encoder twin -------------------------------------------------
+
+def _arith_encode_dc(enc, dc_st, comp_state, td_cond, v):
+    """Mirror of the decoder's DC model (T.81 F.1.4.4.1.1)."""
+    L, U = td_cond
+    s0 = comp_state["ctx"]
+    if v == 0:
+        enc.encode(dc_st, s0, 0)
+        comp_state["ctx"] = 0
+        return
+    enc.encode(dc_st, s0, 1)
+    sign = 1 if v < 0 else 0
+    enc.encode(dc_st, s0 + 1, sign)
+    va = abs(v) - 1
+    sp = s0 + 2 + sign
+    m = 0
+    if va:
+        enc.encode(dc_st, sp, 1)
+        m = 1
+        v2 = va
+        sp = 20
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(dc_st, sp, 1)
+            m <<= 1
+            sp += 1
+    enc.encode(dc_st, sp, 0)
+    if m < (1 << L) >> 1:
+        comp_state["ctx"] = 0
+    elif m > (1 << U) >> 1:
+        comp_state["ctx"] = 12 + sign * 4
+    else:
+        comp_state["ctx"] = 4 + sign * 4
+    sp += 14
+    mm = m
+    while mm:
+        mm >>= 1
+        if mm:
+            enc.encode(dc_st, sp, 1 if (va & mm) else 0)
+
+
+def _arith_encode_ac(enc, ac_st, fixed, kx, zz, k_from, k_to):
+    """Mirror of the decoder's AC model (T.81 F.1.4.4.2)."""
+    ke = k_to
+    while ke >= k_from and zz[ke] == 0:
+        ke -= 1
+    k = k_from
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(ac_st, base, 0)          # not EOB
+        while zz[k] == 0:
+            enc.encode(ac_st, base + 1, 0)
+            base += 3
+            k += 1
+        enc.encode(ac_st, base + 1, 1)
+        v = zz[k]
+        sign = 1 if v < 0 else 0
+        enc.encode(fixed, 0, sign)
+        va = abs(v) - 1
+        sp = base + 2
+        m = 0
+        if va:
+            enc.encode(ac_st, sp, 1)
+            m = 1
+            if va >> 1:
+                enc.encode(ac_st, sp, 1)
+                m = 2
+                v2 = va >> 1
+                sp = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(ac_st, sp, 1)
+                    m <<= 1
+                    sp += 1
+                enc.encode(ac_st, sp, 0)
+            else:
+                enc.encode(ac_st, sp, 0)
+        else:
+            enc.encode(ac_st, sp, 0)
+        sp += 14
+        mm = m
+        while mm:
+            mm >>= 1
+            if mm:
+                enc.encode(ac_st, sp, 1 if (va & mm) else 0)
+        k += 1
+    if k <= k_to:
+        enc.encode(ac_st, 3 * (k - 1), 1)   # EOB
+
+
+def encode_jpeg_arith(width: int, height: int, pixels: bytes, *,
+                      gray: bool = False, subsampling: str = "444",
+                      quant: int = 1) -> bytes:
+    """Deterministic SEQUENTIAL ARITHMETIC JPEG (SOF9) twin: same
+    coefficient plan as ``encode_jpeg``, QM-coded entropy layer with
+    default conditioning (L=0, U=1, Kx=5; a DAC segment spells it out).
+    libjpeg decodes the output coefficient-exact (tests)."""
+    nc = 1 if gray else 3
+    samp, comp_blocks, q, mcux, mcuy = _plan_coefficients(
+        width, height, pixels, gray, subsampling, quant)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(payload) + 2) + payload)
+
+    zz_q = np.empty(64, dtype=np.int32)
+    zz_q[:] = q.reshape(64)[ZIGZAG]
+    seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, nc))
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    seg(0xC9, bytes(sof))
+    # DAC: explicit default conditioning for every table id used
+    seg(0xCC, bytes([0x00, (1 << 4) | 0, 0x10, 5]))
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    enc = _ArithEncoder()
+    dc_st = bytearray(64)
+    ac_st = bytearray(256)
+    fixed = bytearray([_ARITH_FIXED])
+    states = [{"ctx": 0, "pred": 0} for _ in samp]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(samp):
+                for by in range(vs):
+                    for bx in range(hs):
+                        flat = comp_blocks[ci][my * vs + by,
+                                               mx * hs + bx].reshape(64)
+                        zz = [int(flat[ZIGZAG[k]]) for k in range(64)]
+                        diff = zz[0] - states[ci]["pred"]
+                        states[ci]["pred"] = zz[0]
+                        _arith_encode_dc(enc, dc_st, states[ci],
+                                         (0, 1), diff)
+                        _arith_encode_ac(enc, ac_st, fixed, 5, zz,
+                                         1, 63)
+    out.extend(enc.finish())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 # --- encoder (deterministic fixture twin) ------------------------------------
 
 def _canonical_single_length(symbols: list[int]) -> tuple[list[int], bytes]:
