@@ -1327,6 +1327,59 @@ def _vp8_batches(batches):
         yield pd.DataFrame(out)
 
 
+def _jpeg_arith_batches(batches):
+    """Per row: a CONSTANT-COLOR 16x8 RGB image (r,g,b = first three
+    md5(text) bytes) written as a REAL arithmetic-coded JPEG (SOF9, QM
+    entropy layer - functions/jpeg.py encode_jpeg_arith) at quant=1,
+    where constant-color roundtrips are EXACT - then decoded
+    end-to-end (QM decoder, DC/AC decision models, IDCT, BT.601).  The
+    DuckDB twin derives the expected decoded pixel independently from
+    md5(text)."""
+    import hashlib
+
+    import pandas as pd
+
+    from livre_spark.functions.jpeg import decode_jpeg, encode_jpeg_arith
+
+    for batch in batches:
+        out = {"url": [], "width": [], "height": [],
+               "r": [], "g": [], "b": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            did = int(doc_id)
+            r, g, b = hashlib.md5(str(text).encode()).digest()[:3]
+            px = bytes((r, g, b)) * (16 * 8)
+            sub = ("444", "420", "422")[did % 3]
+            jpg = encode_jpeg_arith(16, 8, px, quant=1, subsampling=sub)
+            w, h, got = decode_jpeg(jpg)
+            assert got == px, f"arith roundtrip not exact at doc {did}"
+            out["url"].append(f"jpg://{did}")
+            out["width"].append(w)
+            out["height"].append(h)
+            out["r"].append(got[0])
+            out["g"].append(got[1])
+            out["b"].append(got[2])
+        yield pd.DataFrame(out)
+
+
+def q_jpeg_arith_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _jpeg_arith_batches,
+        schema="url string, width int, height int, r long, g long,"
+               " b long")
+
+
+# constant-color quant=1 roundtrips exactly -> SQL derives the pixels
+SQL_JPEG_ARITH_DECODE = """
+SELECT 'jpg://' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       ('0x' || substr(md5(text), 1, 2))::BIGINT AS r,
+       ('0x' || substr(md5(text), 3, 2))::BIGINT AS g,
+       ('0x' || substr(md5(text), 5, 2))::BIGINT AS b
+FROM documents
+"""
+
+
 def q_vp8_real_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(
@@ -1628,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_decode": q_multimodal_real_decode,
         "webp_real_decode": q_webp_real_decode,
         "vp8_real_decode": q_vp8_real_decode,
+        "jpeg_arith_decode": q_jpeg_arith_decode,
         "url_normalize": q_url_normalize,
         "pdf_images": q_pdf_images,
         "audio_features": q_audio_features,
@@ -1682,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
         "webp_real_decode": SQL_WEBP_REAL_DECODE,
         "vp8_real_decode": SQL_VP8_REAL_DECODE,
+        "jpeg_arith_decode": SQL_JPEG_ARITH_DECODE,
         "url_normalize": SQL_URL_NORMALIZE,
         "pdf_images": SQL_PDF_IMAGES,
         "audio_features": SQL_AUDIO_FEATURES,

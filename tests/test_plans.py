@@ -46,8 +46,9 @@ def test_no_python_row_udfs_in_relational_queries(spark):
         assert "BatchEvalPython" not in plan, name
         if name not in ("extract_roundtrip", "multimodal_features",
                         "multimodal_real_decode", "webp_real_decode",
-                        "vp8_real_decode", "doc_info_crypt",
-                        "pdf_images", "audio_features"):
+                        "vp8_real_decode", "jpeg_arith_decode",
+                        "doc_info_crypt", "pdf_images",
+                        "audio_features"):
             assert "MapInPandas" not in plan, name
 
 
