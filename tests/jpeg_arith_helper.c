@@ -5,7 +5,7 @@
  * livre_spark/functions/jpeg.py is validated coefficient-exact against
  * an independent implementation.
  *
- *   encode <w> <h> <nc> <quality> <progressive> [arith=1] < raw > out.jpg
+ *   encode <w> <h> <nc> <quality> <progressive> [arith=1] [restart=0] < raw > out.jpg
  *   coefs  < in.jpg > per-component: "C bw bh\n" + int32 LE blocks
  */
 #include <stdio.h>
@@ -16,7 +16,7 @@
 static void die(const char *m) { fprintf(stderr, "%s\n", m); exit(2); }
 
 static void encode(int w, int h, int nc, int quality, int progressive,
-                   int arith) {
+                   int arith, int restart) {
   struct jpeg_compress_struct c;
   struct jpeg_error_mgr err;
   unsigned char *row;
@@ -34,6 +34,7 @@ static void encode(int w, int h, int nc, int quality, int progressive,
   jpeg_set_quality(&c, quality, TRUE);
   c.arith_code = arith ? TRUE : FALSE;
   c.optimize_coding = FALSE;
+  c.restart_interval = restart;
   if (progressive) jpeg_simple_progression(&c);
   jpeg_start_compress(&c, TRUE);
   while (c.next_scanline < c.image_height) {
@@ -81,7 +82,8 @@ int main(int argc, char **argv) {
   if (argc >= 2 && !strcmp(argv[1], "encode")) {
     if (argc < 7) die("usage: encode w h nc quality progressive [arith]");
     encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]), atoi(argv[5]),
-           atoi(argv[6]), argc > 7 ? atoi(argv[7]) : 1);
+           atoi(argv[6]), argc > 7 ? atoi(argv[7]) : 1,
+           argc > 8 ? atoi(argv[8]) : 0);
     return 0;
   }
   if (argc >= 2 && !strcmp(argv[1], "coefs")) {

@@ -196,3 +196,26 @@ def test_progressive_twin_still_matches_after_zigzag_fix():
     a = decode_jpeg(encode_jpeg_progressive(w, h, px))
     b = decode_jpeg(encode_jpeg(w, h, px))
     assert a == b
+
+
+@needs_libjpeg
+@pytest.mark.parametrize("w,h,nc,prog,rst", [
+    (64, 48, 3, 0, 2), (64, 48, 3, 0, 1), (48, 48, 3, 1, 3),
+    (40, 33, 1, 0, 2),
+])
+def test_arith_restart_markers_coefficient_exact(w, h, nc, prog, rst):
+    """RSTn inside arithmetic scans: statistics, contexts, predictors
+    and the QM registers all reinitialize at each marker (sequential
+    AND progressive)."""
+    rng = np.random.default_rng(w + rst)
+    img = rng.integers(0, 256, size=(h, w, nc), dtype=np.uint8)
+    r = subprocess.run(
+        [_HELPER, "encode", str(w), str(h), str(nc), "70",
+         str(prog), "1", str(rst)],
+        input=img.tobytes(), capture_output=True)
+    assert r.returncode == 0
+    jpg = r.stdout
+    n_rst = sum(1 for i in range(len(jpg) - 1)
+                if jpg[i] == 0xFF and 0xD0 <= jpg[i + 1] <= 0xD7)
+    assert n_rst > 0
+    assert _coef_equal(_my_coefs(jpg), _ref_coefs(jpg))
