@@ -909,7 +909,7 @@ def _decode_scan_arith(buf: bytes, scan: dict, frame: dict,
             dec = _ArithDecoder(buf, p + 2)
 
     needs_dc = ss == 0
-    if len(sel) > 1 or not progressive:
+    if len(sel) > 1:
         for my in range(mcuy):
             for mx in range(mcux):
                 maybe_restart()
@@ -937,7 +937,13 @@ def _decode_scan_arith(buf: bytes, scan: dict, frame: dict,
             for bx in range(c["bw"]):
                 maybe_restart()
                 coef = c["coef"][by, bx]
-                if needs_dc:
+                if not progressive:
+                    # non-interleaved SEQUENTIAL scan: the component's
+                    # own block grid, full band per block
+                    c["dc_pred"] += decode_dc(dec, c, td)
+                    coef[0] = c["dc_pred"]
+                    decode_ac_run(dec, ta, coef, 1, 63, 0)
+                elif needs_dc:
                     if ah == 0:
                         c["dc_pred"] += decode_dc(dec, c, td)
                         coef[0] = c["dc_pred"] << al

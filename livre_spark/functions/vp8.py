@@ -877,7 +877,10 @@ def decode_vp8(payload: bytes, max_pixels: int = 1 << 22,
             lvl = 0 if lvl < 0 else (63 if lvl > 63 else lvl)
             mb_info[mby][mbx] = (lvl, is_b, mb_nonzero)
 
-    if loop_filter and h.filter_level > 0:
+    # gate on the PER-MB levels, not the frame header level: absolute
+    # segment filter levels can be nonzero while filter_level is 0
+    if loop_filter and any(info[0] > 0 for row in mb_info
+                           for info in row):
         _loop_filter(h, (Y, U, V), mb_info, mb_w, mb_h)
 
     uv_w = (h.width + 1) >> 1
