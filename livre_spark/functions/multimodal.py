@@ -715,12 +715,72 @@ def decode_image(buf: bytes, fake: bool = False):
         else:
             from .webp import decode_webp_lossless
             w, h, samples = decode_webp_lossless(buf)
+    elif _is_isobmff_image(buf):
+        raise NotImplementedError(
+            "AVIF/HEIC pixel decode (AV1/HEVC) is out of scope; "
+            "image_dimensions recovers width/height from the ispe box")
     else:
         raise NotImplementedError(
             "unrecognized image format (PNG/JPEG/GIF/TIFF/WAV/PPM/PGM/"
             "BMP/WebP lossless+lossy decode in pure Python here; JPX "
             "etc. need a codec library not in this container)")
     return w, h, _pixel_features(samples)
+
+
+_ISOBMFF_IMAGE_BRANDS = (b"avif", b"avis", b"heic", b"heix", b"heim",
+                         b"heis", b"hevc", b"mif1", b"msf1")
+
+
+def _is_isobmff_image(buf: bytes) -> bool:
+    """AVIF / HEIC sniff: a leading ftyp box with an image brand."""
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        return False
+    size = struct.unpack_from(">I", buf, 0)[0]
+    if size < 16 or size > len(buf):
+        return False
+    brands = {buf[8:12]} | {buf[i : i + 4] for i in range(16, size, 4)}
+    return any(b in brands for b in _ISOBMFF_IMAGE_BRANDS)
+
+
+def avif_dimensions(buf: bytes) -> tuple[int, int] | None:
+    """AVIF/HEIC (ISOBMFF) width/height from the ``ispe`` property box
+    - full AV1/HEVC pixel decode is out of scope (the only remaining
+    major crawl image codec), but dimensions are a cheap box walk so
+    those rows keep metadata next to their contained error.
+
+    Walk: meta (fullbox) -> iprp -> ipco -> ispe (fullbox: u32 w, h).
+    Container boxes are traversed recursively; the FIRST ispe wins
+    (the primary item's property in practice)."""
+    containers = {b"meta", b"iprp", b"ipco"}
+
+    def walk(pos: int, end: int, depth: int):
+        while pos + 8 <= end:
+            size = struct.unpack_from(">I", buf, pos)[0]
+            btype = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    return None
+                size = struct.unpack_from(">Q", buf, pos + 8)[0]
+                body = pos + 16
+            if size == 0:
+                size = end - pos
+            if size < 8 or pos + size > end:
+                return None
+            if btype == b"ispe" and size >= body - pos + 12:
+                w, h = struct.unpack_from(">II", buf, body + 4)
+                return (int(w), int(h))
+            if btype in containers and depth < 8:
+                inner = body + (4 if btype == b"meta" else 0)  # fullbox
+                got = walk(inner, pos + size, depth + 1)
+                if got:
+                    return got
+            pos += size
+        return None
+
+    if not _is_isobmff_image(buf):
+        return None
+    return walk(0, len(buf), 0)
 
 
 def _webp_is_lossy(buf: bytes) -> bool:
@@ -774,6 +834,8 @@ def image_dimensions(buf: bytes) -> tuple[int, int] | None:
             return int(w), abs(int(h))
         if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
             return _webp_dimensions(buf)
+        if _is_isobmff_image(buf):
+            return avif_dimensions(buf)
     except Exception:
         return None
     return None

@@ -1017,3 +1017,55 @@ def test_jpeg_12bit_multiscan_matches_interleaved():
     a = decode_jpeg(encode_jpeg(w, h, px, bits=12))
     b = decode_jpeg(encode_jpeg_multiscan(w, h, px, bits=12))
     assert a == b
+
+
+def test_avif_heic_dimensions():
+    """AVIF/HEIC (ISOBMFF) ispe box walk: dimensions recovered for the
+    one major crawl image codec whose pixel decode stays out of scope;
+    pixel decode is an explicit NotImplementedError boundary."""
+    import struct as _s
+
+    from livre_spark.functions.multimodal import (
+        avif_dimensions, image_dimensions,
+    )
+
+    def box(btype, payload):
+        return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+    def full(btype, payload):
+        return box(btype, b"\x00\x00\x00\x00" + payload)
+
+    ispe = full(b"ispe", _s.pack(">II", 640, 480))
+    container = (box(b"ftyp", b"heic\x00\x00\x00\x00heicmif1")
+                 + full(b"meta", box(b"iprp", box(b"ipco", ispe))))
+    assert avif_dimensions(container) == (640, 480)
+    assert image_dimensions(container) == (640, 480)
+    with pytest.raises(NotImplementedError, match="AVIF/HEIC"):
+        decode_image(container)
+    # an mp4-brand ftyp is NOT an image container
+    mp4 = box(b"ftyp", b"isom\x00\x00\x00\x00isommp42") + container[24:]
+    assert avif_dimensions(mp4) is None
+    # truncation/hostility contained
+    assert avif_dimensions(container[:20]) is None
+    bad = bytearray(container)
+    _s.pack_into(">I", bad, 24, 0xFFFFFFF0)  # hostile meta size
+    assert avif_dimensions(bytes(bad)) is None
+
+
+def test_avif_dimensions_real_libavif_file(tmp_path):
+    """A REAL libavif-encoded file (generated in a subprocess via the
+    public ctypes ABI; skips when the library is absent or the ABI
+    probe fails)."""
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "t.avif")
+    r = subprocess.run(
+        [_sys.executable, "tests/avif_gen_harness.py", "20", "12", out],
+        capture_output=True, timeout=60)
+    if r.returncode != 0:
+        pytest.skip(f"libavif unavailable/ABI mismatch: {r.returncode}")
+    from livre_spark.functions.multimodal import avif_dimensions
+    buf = open(out, "rb").read()
+    assert buf[4:8] == b"ftyp"
+    assert avif_dimensions(buf) == (20, 12)
