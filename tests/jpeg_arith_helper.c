@@ -16,7 +16,7 @@
 static void die(const char *m) { fprintf(stderr, "%s\n", m); exit(2); }
 
 static void encode(int w, int h, int nc, int quality, int progressive,
-                   int arith, int restart) {
+                   int arith, int restart, int hsamp, int vsamp) {
   struct jpeg_compress_struct c;
   struct jpeg_error_mgr err;
   unsigned char *row;
@@ -35,6 +35,10 @@ static void encode(int w, int h, int nc, int quality, int progressive,
   c.arith_code = arith ? TRUE : FALSE;
   c.optimize_coding = FALSE;
   c.restart_interval = restart;
+  if (hsamp > 0 && nc == 3) {
+    c.comp_info[0].h_samp_factor = hsamp;
+    c.comp_info[0].v_samp_factor = vsamp;
+  }
   if (progressive) jpeg_simple_progression(&c);
   jpeg_start_compress(&c, TRUE);
   while (c.next_scanline < c.image_height) {
@@ -83,7 +87,8 @@ int main(int argc, char **argv) {
     if (argc < 7) die("usage: encode w h nc quality progressive [arith]");
     encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]), atoi(argv[5]),
            atoi(argv[6]), argc > 7 ? atoi(argv[7]) : 1,
-           argc > 8 ? atoi(argv[8]) : 0);
+           argc > 8 ? atoi(argv[8]) : 0, argc > 9 ? atoi(argv[9]) : 0,
+           argc > 10 ? atoi(argv[10]) : 0);
     return 0;
   }
   if (argc >= 2 && !strcmp(argv[1], "coefs")) {
