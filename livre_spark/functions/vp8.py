@@ -634,14 +634,17 @@ def _loop_filter(h, planes, mb_info, mb_w, mb_h):
 
 # --- main decode ------------------------------------------------------------
 
-def decode_vp8(payload: bytes, max_pixels: int = 1 << 22,
+def decode_vp8(payload: bytes, max_pixels: int = 1 << 20,
                loop_filter: bool = True):
     """VP8 key-frame payload -> (width, height, Y, U, V numpy planes,
     cropped to the frame size; U/V are half-resolution).
 
-    ``max_pixels`` (default 4M ~ 2048x2048) is the decompression-bomb
-    guard (the decode is pure Python - quadratic hostile headers must
-    be cheap to reject); raise it for trusted inputs."""
+    ``max_pixels`` (default 1M ~ 1024x1024) is BOTH the memory bomb
+    guard and a CPU bound: the decode is pure Python at ~4s per 300k
+    pixels, so a hostile 4MP header would burn ~a minute of executor
+    CPU per row - the guard turns that into a contained Vp8Error while
+    ``image_dimensions`` still recovers the metadata.  Raise it for
+    trusted inputs."""
     h, bd = _parse_header(payload, max_pixels)
     mb_w = (h.width + 15) >> 4
     mb_h = (h.height + 15) >> 4
@@ -921,7 +924,7 @@ def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
 
 
-def decode_webp_lossy(buf: bytes, max_pixels: int = 1 << 22):
+def decode_webp_lossy(buf: bytes, max_pixels: int = 1 << 20):
     """WebP container with a VP8 (lossy) chunk -> (w, h, RGB bytes) -
     or RGBA when an ALPH chunk rides alongside (alpha is LOSSLESS in
     WebP: raw or headerless-VP8L coded, optionally filtered)."""
