@@ -66,3 +66,15 @@ def test_whole_stage_codegen_active(spark):
     df.collect()
     plan = _plan(df)
     assert "isFinalPlan=true" in plan and "*(" in plan
+
+
+def test_minhash_lsh_cap_is_broadcast_anti_join(spark):
+    """The round-6 hot-bucket cap must stay a BROADCAST anti-join
+    ahead of the bucket self-join (a shuffled anti-join would add a
+    full shuffle of the bucket table at 100 TB), and no cross join may
+    appear."""
+    plan = _plan(em.queries()["dedup_minhash_lsh"](spark, SF_DIR))
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
