@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from livre_spark.functions import dedup as dd
 from livre_spark.functions import similarity as sim
 from livre_spark.functions import textstats as ts
+from livre_spark.operators.skew import ensure_scan_parallelism as _par
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -63,7 +64,9 @@ def _roundtrip_batches(batches):
 
 
 def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # _par: the single-row-group documents scan yields ONE task, so the
+    # whole Python kernel would run on one core (guide 2.5)
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.mapInPandas(
         _roundtrip_batches, schema="url string, text string, n_pages int")
 
@@ -356,7 +359,7 @@ FROM documents
 
 
 def q_quality_score(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id",
                        ts.quality_score(F.col("text")).alias("quality"))
 
@@ -383,7 +386,7 @@ FROM q
 
 
 def q_lang_guess(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", ts.lang_guess(F.col("text")).alias("lang_guess"))
 
 
@@ -417,7 +420,7 @@ SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 def q_bpe_token_count(spark, sf_dir):
     """BPE-ish pre-tokenizer token count (LLM-budget proxy)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id",
                        ts.bpe_token_count(F.col("text")).alias("n_bpe"))
 
@@ -432,7 +435,7 @@ FROM documents
 
 def q_fingerprint_rolling(spark, sf_dir):
     """Rabin-Karp polynomial rolling hash over document characters."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id",
                        ts.rolling_fingerprint(F.col("text")).alias("rfp"))
 
@@ -492,8 +495,9 @@ def _mh_sql(i: int) -> str:
 
 def q_dedup_minhash_sig(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", *[c for c in dd.minhash_signature(F.col("text"), 4, 3)])
+    return (dd.minhash_signature_df(docs, "text", "doc_id", 4, 3)
+            .select(F.col("id").alias("doc_id"),
+                    *[F.col(f"mh{i}") for i in range(4)]))
 
 
 SQL_DEDUP_MINHASH_SIG = f"""
@@ -599,9 +603,13 @@ sig AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes)
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """Signatures via the explode + 60-sum hash aggregate
+    (dedup.simhash64_df) - identical integers to the simhash64 fold
+    (commutative votes), ~10x the fold's per-shingle interpreted cost."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       dd.simhash64(F.col("text"), k=1).alias("simhash"))
+    return (dd.simhash64_df(docs, text_col="text", id_col="doc_id", k=1)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("sig").alias("simhash")))
 
 
 SQL_DEDUP_SIMHASH = f"""
@@ -1138,7 +1146,7 @@ def q_html_strip(spark, sf_dir):
     entities decoded, whitespace collapsed) - pure codegen."""
     from livre_spark.functions.htmltext import strip_tags
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", strip_tags(_mk_html_col()).alias("body"))
 
 
@@ -1147,7 +1155,7 @@ def q_html_main(spark, sf_dir):
     keep rule drops the nav/footer link farms."""
     from livre_spark.functions.htmltext import main_content
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", main_content(_mk_html_col()).alias("body"))
 
 
@@ -1229,7 +1237,7 @@ def _real_ppm_batches(batches):
 
 
 def q_multimodal_real_decode(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.mapInPandas(
         _real_ppm_batches,
         schema="url string, width int, height int, f6_count long")
@@ -1280,7 +1288,7 @@ def _real_webp_batches(batches):
 
 
 def q_webp_real_decode(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.mapInPandas(
         _real_webp_batches,
         schema="url string, width int, height int, f6_count long")
@@ -1362,7 +1370,7 @@ def _jpeg_arith_batches(batches):
 
 
 def q_jpeg_arith_decode(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.mapInPandas(
         _jpeg_arith_batches,
         schema="url string, width int, height int, r long, g long,"
@@ -1381,7 +1389,7 @@ FROM documents
 
 
 def q_vp8_real_decode(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.mapInPandas(
         _vp8_batches,
         schema="url string, width int, height int, gray long,"
@@ -1474,7 +1482,7 @@ def _pdf_images_batches(batches):
 
 
 def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.mapInPandas(
         _pdf_images_batches,
         schema="url string, name string, width int, height int,"
@@ -1520,7 +1528,7 @@ def _audio_batches(batches):
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.mapInPandas(
         _audio_batches,
         schema="url string, sample_rate int, channels int,"
@@ -1615,7 +1623,7 @@ def _doc_info_batches(batches):
 
 
 def q_doc_info_crypt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.mapInPandas(
         _doc_info_batches,
         schema="url string, title string, author string, scheme string")

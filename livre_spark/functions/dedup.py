@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.skew import ensure_scan_parallelism
 from .textstats import md5_long
 
 
@@ -98,21 +99,38 @@ def _mh_min(base: Column, i: int) -> Column:
 def minhash_signature_df(df: DataFrame, text_col: str, id_col: str,
                          n_hashes: int, k: int,
                          hash_fn: str = "md5") -> DataFrame:
-    """(id, mh0..mhK) with the shingle+md5 work computed ONCE per row.
+    """(id, mh0..mhK) as ONE explode + hash-aggregate - the codegen path.
 
-    The two-step projection forces a materialization boundary so the
-    split/slice/md5 work is shared by all K hash columns instead of
-    being re-evaluated K times (measured ~3x on the LSH headline query
-    from the shingles alone; sharing the md5 base hash removes the
-    remaining per-family hashing too).
+    Spark's higher-order array functions (``transform``/``array_min``)
+    are CodegenFallback: each per-shingle lambda step is interpreted and
+    every family allocates a fresh transformed array per row.  Exploding
+    the shingle stream instead evaluates the md5 base hash and the K
+    affine families as flat whole-stage-codegen expressions feeding K
+    ``min`` aggregates, with map-side partial aggregation so the one
+    shuffle moves only (id, mh0..mhK) rows (guide sections 2.3/4.1;
+    measured ~4x on the sf1.0 LSH signatures).
+
+    Values are identical to the old fold by commutativity of ``min`` over
+    exact integers.  ``explode_outer`` keeps empty-shingle docs (short
+    texts at k>=2) as a single null shingle: every aggregate skips nulls,
+    so those docs get the same sentinel ``-1`` via ``coalesce`` that
+    ``array_min`` + ``coalesce`` produced (null text likewise).
     """
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), k),
-                    lambda s: F.pmod(_mh(s, 0, hash_fn),
-                                     F.lit(MH_MOD))).alias("_hb"))
-    return hashed.select(
-        "id", *[_mh_min(F.col("_hb"), i) for i in range(n_hashes)])
+    base = ensure_scan_parallelism(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(text_col).alias("_t")), "id")
+    exploded = base.select(
+        "id", F.explode_outer(shingles(F.col("_t"), k)).alias("_s"))
+    hashed = exploded.select(
+        "id", F.pmod(_mh(F.col("_s"), 0, hash_fn),
+                     F.lit(MH_MOD)).alias("_b"))
+    aggs = [
+        F.coalesce(
+            F.min(F.pmod(F.col("_b") * F.lit(_MH_A[i]) + F.lit(_MH_B[i]),
+                         F.lit(MH_MOD))),
+            F.lit(-1)).alias(f"mh{i}")
+        for i in range(n_hashes)]
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def _mh_fn(i: int):
@@ -162,8 +180,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     which handles them in linear time.
     """
     rows_per = n_hashes // bands
-    sigs = minhash_signature_df(df, text_col, id_col, n_hashes, k,
-                                hash_fn=hash_fn)
+    # repartition = reuse barrier over the signature aggregate (see
+    # simhash_hamming_pairs): buckets is consumed by the hot-bucket
+    # count AND both self-join sides, so without the outer exchange the
+    # per-shingle md5 aggregation would re-run per consumer
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                          "200"))
+    sigs = (minhash_signature_df(df, text_col, id_col, n_hashes, k,
+                                 hash_fn=hash_fn)
+            .repartition(n_part, "id"))
     # one pass: explode (band, bucket-hash) pairs instead of unioning
     # per-band branches (a union would recompute the signatures per band)
     band_structs = []
@@ -231,6 +256,50 @@ def simhash64(text: Column, k: int = 1, hash_fn: str = "md5") -> Column:
         lambda a, x: a + x)
 
 
+def simhash64_df(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 1,
+                 hash_fn: str = "md5") -> DataFrame:
+    """(id, sig): the 60-bit SimHash as ONE explode + hash-aggregate.
+
+    :func:`simhash64` is a per-row ``aggregate`` fold whose inner
+    ``zip_with`` step is CodegenFallback - every shingle pays an
+    interpreted 60-lambda evaluation plus a fresh 60-int array (measured
+    30 s for 50k docs at sf1.0).  This table twin explodes the shingle
+    stream and takes 60 codegen ``sum`` aggregates of the per-bit
+    indicator (plus one count), then assembles the signature from the
+    vote sign: ``vote_j = 2*sum(bit_j) - n`` - the same integers the
+    fold accumulates, reordered by commutative addition, so signatures
+    are identical.  Map-side partial aggregation keeps the one shuffle
+    at (id, 61 longs) per doc (guide sections 2.3/4.1).
+
+    ``explode_outer`` keeps empty-shingle docs (k>=2 short texts) as one
+    null shingle: the null-skipping aggregates then yield zero votes ->
+    sig 0, exactly the fold's empty-array result; null text keeps the
+    fold's null sig via the carried ``_tn`` flag.
+    """
+    base = ensure_scan_parallelism(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(text_col).isNull().alias("_tn"),
+                  F.col(text_col).alias("_t")), "id")
+    exploded = base.select(
+        "id", "_tn", F.explode_outer(shingles(F.col("_t"), k)).alias("_s"))
+    hashed = exploded.select(
+        "id", "_tn", _mh(F.col("_s"), 0, hash_fn).alias("_h"))
+    aggs = [F.count(F.col("_h")).alias("_n")] + [
+        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))
+              .cast("int")).alias(f"_sb{j}")
+        for j in range(SIMHASH_BITS)]
+    votes = hashed.groupBy("id", "_tn").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        vote = 2 * F.coalesce(F.col(f"_sb{j}"), F.lit(0)) - F.col("_n")
+        sig = sig + F.when(vote > 0, F.lit(1 << j).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return votes.select(
+        "id", F.when(F.col("_tn"), F.lit(None).cast("long"))
+        .otherwise(sig).alias("sig"))
+
+
 def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 1,
                           bands: int = 4, max_hamming: int = 3,
@@ -263,14 +332,16 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError("bands must exceed max_hamming for full recall")
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
-    # repartition is a materialization barrier: without it Catalyst
-    # inlines the 60-bit vote expression into the explode projection and
-    # both self-join sides, recomputing it up to 8x (measured 27s -> 12s
-    # at sf0.1).  The shuffled payload is just (id, sig) - narrow.
+    # the repartition above the aggregate is a reuse barrier: sigs is
+    # consumed THREE times (hot-bucket counts + both self-join sides),
+    # and exchange reuse dedups identical exchange SUBTREES - without
+    # the outer exchange each consumer would re-run the explode + md5 +
+    # vote aggregation (the expensive part); with it the narrow
+    # (id, sig) rows shuffle once and the signature is computed once
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                           "200"))
-    sigs = (df.select(F.col(id_col).alias("id"),
-                      simhash64(F.col(text_col), k, hash_fn).alias("sig"))
+    sigs = (simhash64_df(df, text_col=text_col, id_col=id_col, k=k,
+                         hash_fn=hash_fn)
             .repartition(n_part, "id"))
     chunks = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -294,12 +365,16 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
                    F.col("l.id") < F.col("r.id")])
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                     F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
-            .distinct()
             .withColumn("hamming",
                         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
                         .cast("long"))
+            # popcount BEFORE the distinct: the filter is deterministic
+            # per row, so filter-then-distinct equals distinct-then-
+            # filter - but only the hamming-near survivors (tiny) reach
+            # the distinct exchange instead of every bucket candidate
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .select("id_a", "id_b", "hamming")
+            .distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -321,8 +396,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     standard blocking trade.  The hot-shingle list is tiny (df > cap), so
     the exclusion is a broadcast anti-join, not a shuffle.
     """
-    toks = (df.select(F.col(id_col).alias("id"),
-                      F.explode(shingles(F.col(text_col), k)).alias("sh"))
+    base = ensure_scan_parallelism(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(text_col).alias("_t")), "id")
+    toks = (base.select("id",
+                        F.explode(shingles(F.col("_t"), k)).alias("sh"))
             .distinct())
     sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
     join_toks = toks

@@ -68,19 +68,32 @@ def strip_tags(html: Column) -> Column:
 
 
 def main_content(html: Column) -> Column:
-    """Readability-lite main content (see module docstring)."""
-    blocks = F.split(_preclean(html), BLOCK_SPLIT)
+    """Readability-lite main content (see module docstring).
 
-    def keep(b: Column) -> Column:
-        n_all = F.length(_block_text(b))
-        n_noa = F.length(_block_text(F.regexp_replace(b, ANCHOR, " ")))
-        anchor_chars = n_all - n_noa
-        return (n_noa >= F.lit(MIN_CHARS)) & \
+    Each block's cleaned text is computed ONCE into a struct that both
+    the keep rule and the final join consume; the previous shape ran
+    ``_block_text`` (a 9-regex/replace chain) twice per block in the
+    filter and a third time per kept block in the output transform.
+    The keep rule reads the same lengths off the struct, so results are
+    byte-identical.
+    """
+    blocks = F.split(_preclean(html), BLOCK_SPLIT)
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _block_text(b).alias("t"),
+            F.length(_block_text(F.regexp_replace(b, ANCHOR, " ")))
+            .alias("noa")))
+
+    def keep(s: Column) -> Column:
+        n_all = F.length(s["t"])
+        anchor_chars = n_all - s["noa"]
+        return (s["noa"] >= F.lit(MIN_CHARS)) & \
                (anchor_chars * F.lit(ANCHOR_DEN)
                 <= n_all * F.lit(ANCHOR_NUM))
 
-    kept = F.filter(blocks, keep)
-    return F.array_join(F.transform(kept, _block_text), "\n")
+    kept = F.filter(scored, keep)
+    return F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
 
 
 def looks_like_html(html_col: str = "html") -> Column:

@@ -14,11 +14,14 @@ single scan (no shuffle); the LSH path shuffles once on the bucket key.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from ..operators.skew import ensure_scan_parallelism
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -37,6 +40,16 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# NB on the folds above: zip_with/aggregate are CodegenFallback
+# (interpreted, ~20 us per dim-64 evaluation).  Do NOT "fix" this by
+# unrolling into a getItem/multiply/add expression chain: a single
+# dim-64 chain compiles to a >8 KB-bytecode method that HotSpot's JIT
+# refuses to compile (DontCompileHugeMethods), and join/scan codegen
+# contexts cannot split one expression across methods - measured 3-500x
+# SLOWER than the fold at round 7.  Bulk pair scoring belongs in the
+# vectorized numpy kernel (see cosine_near_dup_pairs_lsh).
 
 
 def _query_literal(query_vec: list[float]) -> Column:
@@ -175,7 +188,14 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-dot-product bit signature packed into a long."""
+    """Sign-of-dot-product bit signature packed into a long.
+
+    Kept as the fold-based dot: a single signature expression with
+    ``len(planes)`` unrolled dim-wide dots would exceed janino's 64 KB
+    method limit and degrade its whole stage to interpreted mode
+    (callers that need codegen materialize the per-plane dots as
+    separate columns instead - see ``cosine_near_dup_pairs_lsh``).
+    """
     acc = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         bit = F.when(dot(vec, _query_literal(plane)) >= 0,
@@ -379,22 +399,40 @@ def embed_text_table(df: DataFrame, text_col: str = "text",
     """
     from .dedup import _mh, shingles
 
-    tf = (df.select(F.col(id_col),
-                    F.explode(shingles(F.col(text_col), k)).alias("_sh"))
+    base = ensure_scan_parallelism(
+        df.select(F.col(id_col), F.col(text_col)), id_col)
+    tf = (base.select(F.col(id_col),
+                      F.explode(shingles(F.col(text_col), k)).alias("_sh"))
           .select(id_col, F.pmod(_mh(F.col("_sh"), 0), F.lit(dim))
-                  .alias("_b"))
-          .groupBy(id_col, "_b").agg(F.count("*").alias("_tf")))
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    dense = F.transform(
-        idx, lambda j: F.coalesce(F.element_at(F.col("_m"),
-                                               j.cast("long")),
-                                  F.lit(0)).cast("int"))
-    emb = (tf.groupBy(id_col)
-           .agg(F.map_from_entries(
-               F.collect_list(F.struct(F.col("_b"),
-                                       F.col("_tf").cast("int"))))
-               .alias("_m"))
-           .select(id_col, dense.alias("embedding")))
+                  .alias("_b")))
+    if dim <= 64:
+        # ONE hash aggregate of dim conditional sums (whole-stage
+        # codegen), assembling the dense array directly - drops the
+        # second groupBy + map assembly + interpreted per-index
+        # transform of the map path below (same integer counts: a sum
+        # of equality indicators IS the bucket count).  Bounded at 64
+        # aggregates so the codegen stays compact; larger dims keep the
+        # sparse (doc, bucket) path whose shuffle width is capped at
+        # min(shingles, dim) rows per doc.
+        emb = (tf.groupBy(id_col)
+               .agg(*[F.sum((F.col("_b") == j).cast("int"))
+                      .alias(f"_c{j}") for j in range(dim)])
+               .select(id_col,
+                       F.array(*[F.col(f"_c{j}").cast("int")
+                                 for j in range(dim)]).alias("embedding")))
+    else:
+        grouped = tf.groupBy(id_col, "_b").agg(F.count("*").alias("_tf"))
+        idx = F.sequence(F.lit(0), F.lit(dim - 1))
+        dense = F.transform(
+            idx, lambda j: F.coalesce(F.element_at(F.col("_m"),
+                                                   j.cast("long")),
+                                      F.lit(0)).cast("int"))
+        emb = (grouped.groupBy(id_col)
+               .agg(F.map_from_entries(
+                   F.collect_list(F.struct(F.col("_b"),
+                                           F.col("_tf").cast("int"))))
+                   .alias("_m"))
+               .select(id_col, dense.alias("embedding")))
     # empty-text docs vanish in the explode; restore them with zeros
     return (df.select(id_col).join(emb, id_col, "left")
             .select(id_col,
@@ -445,10 +483,34 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
     ``ngram_jaccard_pairs``).  The hot list is tiny, so the exclusion is
     a broadcast anti-join, not a shuffle.
 
-    Plan shape: one explode (x bands) of (id, band, chunk), one shuffle
-    on the bucket key, distinct candidate id-pairs, then two broadcast-or
-    -shuffle equi-joins back to the vectors for the exact cosine.  Never
-    a cross join; the all-pairs variant below is the small-scale twin.
+    Plan shape (round-7 restructure, guide sections 2.3/2.4/4.2): one
+    explode (x bands) of (id, band, chunk, vec), then each (band,
+    chunk) bucket is scored by a VECTORIZED native kernel
+    (``applyInPandas`` + numpy GEMM) instead of a relational self-join.
+    The previous shape joined the bucket with itself, shuffled the FULL
+    O(sum bucket^2) candidate set through a ``distinct`` and
+    re-attached the vectors with two more joins, then paid an
+    interpreted ~20 us array fold per pair - measured 316 s at sf1.0
+    (2*10^8 candidates).  Now each vector crosses the Python boundary
+    once per bucket membership (n * bands rows, NOT n^2), pair scoring
+    runs at GEMM speed, and only final pairs reach a shuffle (the
+    closing cross-band ``distinct``).
+
+    Bit-parity with the SQL fold (the oracle contract) is kept by a
+    two-phase score: the GEMM result plus a rigorous floating-point
+    error bound selects candidate pairs (a provable SUPERSET of
+    ``round(cos, 6) >= threshold``), then each candidate is re-scored
+    with the exact sequential f64 fold and Spark's exact HALF_UP
+    6-decimal rounding (``Decimal(repr(x))`` mirrors
+    ``BigDecimal.valueOf``).  NaN pairs (zero-norm vectors) follow
+    Spark/DuckDB NaN-is-greatest comparison semantics.
+
+    Parallelism is by construction: each bucket's ids are split into
+    ``n_blocks`` deterministic blocks (``LIVRE_ND_BLOCKS``, default 4)
+    and every block PAIR is an independent task, so one hot bucket
+    spreads over ``n_blocks * (n_blocks + 1) / 2`` tasks instead of
+    one - the knob to raise with cluster size.  Never a cross join;
+    the all-pairs variant below is the small-scale twin.
     """
     planes = hyperplanes(dim, bands * planes_per_band, seed)
     band_structs = []
@@ -460,8 +522,10 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
                                      chunk.alias("chunk")))
     buckets = (embeddings
                .select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("v"),
                        F.explode(F.array(*band_structs)).alias("bb"))
-               .select("id", F.col("bb.band").alias("band"),
+               .select("id", "v",
+                       F.col("bb.band").alias("band"),
                        F.col("bb.chunk").alias("chunk")))
     if max_bucket is not None or max_bucket_factor is not None:
         counts = (buckets.groupBy("band", "chunk")
@@ -479,24 +543,124 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
         hot = counts.filter(hot_cond).select("band", "chunk")
         buckets = buckets.join(F.broadcast(hot), ["band", "chunk"],
                                "left_anti")
-    cand = (buckets.alias("l")
-            .join(buckets.alias("r"),
-                  [F.col("l.band") == F.col("r.band"),
-                   F.col("l.chunk") == F.col("r.chunk"),
-                   F.col("l.id") < F.col("r.id")])
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .distinct())
-    a = embeddings.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("va"),
-                          norm(F.col(vec_col)).alias("na"))
-    b = embeddings.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("vb"),
-                          norm(F.col(vec_col)).alias("nb"))
-    return (cand.join(a, "id_a").join(b, "id_b")
-            .withColumn("cos_sim", F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
-            .filter(F.col("cos_sim") >= threshold)
-            .select("id_a", "id_b", "cos_sim"))
+    n_blocks = int(os.environ.get("LIVRE_ND_BLOCKS", "4"))
+    # deterministic block per id (placement only - never in results),
+    # every row replicated to each block pair it participates in
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
+    entries = []
+    for j in range(n_blocks):
+        entries.append(F.struct(
+            F.least(blk, F.lit(j)).alias("lo"),
+            F.greatest(blk, F.lit(j)).alias("hi"),
+            F.when(blk < j, F.lit("a")).when(blk > j, F.lit("b"))
+            .otherwise(F.lit("x")).alias("side")))
+    work = (buckets
+            .select("id", "v", "band", "chunk",
+                    F.explode(F.array(*entries)).alias("e"))
+            .select("id", "v", "band", "chunk",
+                    F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"),
+                    F.col("e.side").alias("side")))
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    pairs = (work.groupBy("band", "chunk", "lo", "hi")
+             .applyInPandas(_block_pair_scorer(threshold),
+                            schema=f"id_a {id_type}, id_b {id_type},"
+                                   f" cos_sim double"))
+    return pairs.distinct()
+
+
+def _block_pair_scorer(threshold: float):
+    """Pandas kernel scoring one (band, chunk, block-lo, block-hi)
+    group: GEMM + error-bounded candidate mask, exact sequential-fold
+    rescore of candidates (see cosine_near_dup_pairs_lsh)."""
+
+    def score(pdf):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": pdf["id"].iloc[0:0],
+                              "id_b": pdf["id"].iloc[0:0],
+                              "cos_sim": pd.Series([], dtype="float64")})
+        triangular = bool(pdf["lo"].iat[0] == pdf["hi"].iat[0])
+        if triangular:
+            a_rows = b_rows = pdf
+        else:
+            a_rows = pdf[pdf["side"] == "a"]
+            b_rows = pdf[pdf["side"] == "b"]
+        if len(a_rows) == 0 or len(b_rows) == 0:
+            return empty
+        # float32 -> float64 widening is exact, matching cast(double)
+        va = np.stack(a_rows["v"].to_numpy()).astype(np.float64)
+        vb = va if triangular else \
+            np.stack(b_rows["v"].to_numpy()).astype(np.float64)
+        ida = a_rows["id"].to_numpy()
+        idb = ida if triangular else b_rows["id"].to_numpy()
+
+        def seq_norm(m):
+            # per-column accumulation: one IEEE multiply + one IEEE add
+            # per element in array order - bit-identical to the SQL fold
+            acc = np.zeros(len(m))
+            for k in range(m.shape[1]):
+                x = m[:, k]
+                acc = acc + x * x
+            return np.sqrt(acc)
+
+        na = seq_norm(va)
+        nb = na if triangular else seq_norm(vb)
+        dot_m = va @ vb.T
+        abs_m = np.abs(va) @ np.abs(vb).T
+        denom = na[:, None] * nb[None, :]
+        # |GEMM - sequential fold| <= 2*gamma_dim*sum|a_i b_i| with
+        # gamma_dim ~ dim*eps ~ 1.4e-14 at dim 64; the 1e-12 factor is
+        # ~70x that bound, and the 2e-6 slack covers the half-up
+        # rounding boundary (round(x,6) >= t implies x >= t - 5.1e-7)
+        err = 1e-12 * abs_m * m_dim_factor(va.shape[1])
+        cand = (dot_m + err) >= (threshold - 2e-6) * denom
+        if triangular:
+            cand = np.triu(cand, k=1)
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(*np.nonzero(cand)):
+            x, y = va[i], vb[j]
+            acc = 0.0
+            an = 0.0
+            bn = 0.0
+            for k in range(x.shape[0]):
+                acc += float(x[k]) * float(y[k])
+                an += float(x[k]) * float(x[k])
+                bn += float(y[k]) * float(y[k])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = float(np.float64(acc)
+                            / np.float64(math.sqrt(an) * math.sqrt(bn)))
+            if math.isnan(cos):
+                keep, cval = True, float("nan")  # NaN >= t in Spark/DuckDB
+            elif math.isinf(cos):
+                keep, cval = cos > 0, cos
+            else:
+                cval = float(Decimal(repr(cos))
+                             .quantize(Decimal("0.000001"),
+                                       rounding=ROUND_HALF_UP))
+                keep = cval >= threshold
+            if keep:
+                pa, pb = (ida[i], idb[j]) if ida[i] < idb[j] \
+                    else (idb[j], ida[i])
+                out_a.append(pa)
+                out_b.append(pb)
+                out_c.append(cval)
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "cos_sim": out_c})
+
+    return score
+
+
+def m_dim_factor(dim: int) -> float:
+    """Error-bound scale for the GEMM candidate mask: grows linearly
+    with dimension so the 1e-12 base factor stays ~70x above the real
+    gamma bound at any dim."""
+    return max(1.0, dim / 64.0)
 
 
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,

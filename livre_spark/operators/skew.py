@@ -78,6 +78,30 @@ def size_bucketed_repartition(pages: DataFrame,
     return small.unionByName(large)
 
 
+def ensure_scan_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition a scan whose file layout cannot split (guide 2.5:
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read").
+
+    A parquet file with a single row group yields exactly ONE scan task
+    no matter what ``maxPartitionBytes`` asks for, so everything fused
+    into the scan stage (explode + hash + partial aggregation, regex
+    chains, mapInPandas kernels) runs on one core.  When the scan
+    already produces at least ``defaultParallelism`` partitions (a real
+    multi-file table at scale) this is a no-op; otherwise it pays one
+    narrow shuffle of the projected input to restore parallelism.
+    With ``key_cols`` the repartition is hash-keyed (deterministic
+    placement, and a downstream groupBy on a superset of the keys
+    reuses the exchange); without, round-robin.
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", str(2 * cores)))
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
 def latest_per_url(pages: DataFrame, url_col: str = "url",
                    ts_col: str = "warc_ts") -> DataFrame:
     """B12: keep the newest snapshot of each url (window dedup).
