@@ -1027,8 +1027,8 @@ def q_sim_topk_many(spark, sf_dir):
     queries = (emb.filter(F.col("vec_id") <= 2)
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qv")))
-    return sim.topk_cosine_many(emb.filter(F.col("vec_id") > 2), queries,
-                                k=5)
+    return sim.topk_cosine_many(_par(emb.filter(F.col("vec_id") > 2)),
+                                queries, k=5)
 
 
 SQL_SIM_TOPK_MANY = f"""

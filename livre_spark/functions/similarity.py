@@ -513,17 +513,23 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
     the all-pairs variant below is the small-scale twin.
     """
     planes = hyperplanes(dim, bands * planes_per_band, seed)
-    band_structs = []
-    for b in range(bands):
-        chunk = lsh_signature(
-            F.col(vec_col),
-            planes[b * planes_per_band:(b + 1) * planes_per_band])
-        band_structs.append(F.struct(F.lit(b).alias("band"),
-                                     chunk.alias("chunk")))
-    buckets = (embeddings
-               .select(F.col(id_col).alias("id"),
-                       F.col(vec_col).alias("v"),
-                       F.explode(F.array(*band_structs)).alias("bb"))
+    # parallelize BEFORE the signature folds: the interpreted per-plane
+    # fold costs ~80 us/row and is evaluated by the work frame AND the
+    # hot-bucket counts branch - on a starved single-task scan that
+    # serialized the whole front of the query (guide 2.5)
+    src = ensure_scan_parallelism(
+        embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v")))
+    buckets = (src
+               .select("id", "v",
+                       F.explode(F.array(*[
+                           F.struct(F.lit(b).alias("band"),
+                                    lsh_signature(
+                                        F.col("v"),
+                                        planes[b * planes_per_band:
+                                               (b + 1) * planes_per_band])
+                                    .alias("chunk"))
+                           for b in range(bands)])).alias("bb"))
                .select("id", "v",
                        F.col("bb.band").alias("band"),
                        F.col("bb.chunk").alias("chunk")))
