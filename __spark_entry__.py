@@ -1325,7 +1325,8 @@ def _vp8_batches(batches):
             rgb = bytes([c, c, c]) * 256
             webp, _ = encode_vp8(16, 16, rgb, qi=did % 9)
             w, h, px = decode_webp_lossy(bytes(webp))
-            assert px == rgb, f"gray {c} qi {did % 9} not exact"
+            if px != rgb:  # explicit: assert is compiled out under -O
+                raise ValueError(f"gray {c} qi {did % 9} not exact")
             _, _, feats = decode_image(bytes(webp))
             out["url"].append(f"vp8://{did}")
             out["width"].append(w)
@@ -1359,7 +1360,9 @@ def _jpeg_arith_batches(batches):
             sub = ("444", "420", "422")[did % 3]
             jpg = encode_jpeg_arith(16, 8, px, quant=1, subsampling=sub)
             w, h, got = decode_jpeg(jpg)
-            assert got == px, f"arith roundtrip not exact at doc {did}"
+            if got != px:  # explicit: assert is compiled out under -O
+                raise ValueError(
+                    f"arith roundtrip not exact at doc {did}")
             out["url"].append(f"jpg://{did}")
             out["width"].append(w)
             out["height"].append(h)
@@ -1471,7 +1474,8 @@ def _pdf_images_batches(batches):
                          "samples": raster}],
                 encrypt="rc4-128" if did % 2 else None)
             (row,) = extract_pdf_images(pdf)
-            assert row["error"] is None, row["error"]
+            if row["error"] is not None:  # explicit vs -O
+                raise ValueError(row["error"])
             out["url"].append(f"pdf://{did}")
             out["name"].append(row["name"])
             out["width"].append(row["width"])

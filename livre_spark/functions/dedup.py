@@ -178,17 +178,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     not an extra shuffle.  Mega-buckets dropped here are exact-dup
     cliques anyway - route them through ``exact_duplicate_groups``,
     which handles them in linear time.
+
+    Broadcast worst case: the hot list is bounded by
+    ``n_docs * bands / max_bucket`` rows (every bucket exactly at the
+    cap), so with max_bucket=50 a 10^9-doc boilerplate-heavy corpus can
+    in principle exceed the driver/broadcast budget; at that scale
+    raise ``max_bucket`` (the cap is per-bucket pairs-budget, not a
+    small constant) or swap the broadcast for a shuffle anti-join -
+    identical semantics, one more exchange.
     """
     rows_per = n_hashes // bands
-    # repartition = reuse barrier over the signature aggregate (see
-    # simhash_hamming_pairs): buckets is consumed by the hot-bucket
-    # count AND both self-join sides, so without the outer exchange the
-    # per-shingle md5 aggregation would re-run per consumer
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                          "200"))
-    sigs = (minhash_signature_df(df, text_col, id_col, n_hashes, k,
-                                 hash_fn=hash_fn)
-            .repartition(n_part, "id"))
+    # sigs is consumed three times (hot-bucket counts + both self-join
+    # sides); only the input repartition exchange is shared, so the
+    # signature aggregate runs per consumer.  Measured best-of-N this
+    # recompute ties an explicit reuse barrier (an extra round-robin
+    # exchange) at both sf0.1 and sf1.0 - the aggregate is cheap and
+    # parallel - so the simpler no-barrier shape stays.  NB a hash(id)
+    # repartition barrier is silently ELIDED here (the aggregate output
+    # is already hash(id)-partitioned); use a keyless one if a barrier
+    # is ever reintroduced.
+    sigs = minhash_signature_df(df, text_col, id_col, n_hashes, k,
+                                hash_fn=hash_fn)
     # one pass: explode (band, bucket-hash) pairs instead of unioning
     # per-band branches (a union would recompute the signatures per band)
     band_structs = []
@@ -332,17 +342,14 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError("bands must exceed max_hamming for full recall")
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
-    # the repartition above the aggregate is a reuse barrier: sigs is
-    # consumed THREE times (hot-bucket counts + both self-join sides),
-    # and exchange reuse dedups identical exchange SUBTREES - without
-    # the outer exchange each consumer would re-run the explode + md5 +
-    # vote aggregation (the expensive part); with it the narrow
-    # (id, sig) rows shuffle once and the signature is computed once
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                          "200"))
-    sigs = (simhash64_df(df, text_col=text_col, id_col=id_col, k=k,
-                         hash_fn=hash_fn)
-            .repartition(n_part, "id"))
+    # sigs is consumed three times (hot-bucket counts + both self-join
+    # sides); the old fold-era repartition barrier is gone - with the
+    # aggregate-based signature the recompute is parallel codegen and
+    # measured best-of-N it ties the explicit barrier at sf0.1 AND
+    # sf1.0, so the simpler shape stays (a hash(id) barrier would be
+    # elided anyway: the aggregate output is already id-partitioned)
+    sigs = simhash64_df(df, text_col=text_col, id_col=id_col, k=k,
+                        hash_fn=hash_fn)
     chunks = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftright(F.col("sig"), b * width)
