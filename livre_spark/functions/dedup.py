@@ -188,17 +188,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     identical semantics, one more exchange.
     """
     rows_per = n_hashes // bands
-    # sigs is consumed three times (hot-bucket counts + both self-join
-    # sides); only the input repartition exchange is shared, so the
-    # signature aggregate runs per consumer.  Measured best-of-N this
-    # recompute ties an explicit reuse barrier (an extra round-robin
-    # exchange) at both sf0.1 and sf1.0 - the aggregate is cheap and
-    # parallel - so the simpler no-barrier shape stays.  NB a hash(id)
-    # repartition barrier is silently ELIDED here (the aggregate output
-    # is already hash(id)-partitioned); use a keyless one if a barrier
-    # is ever reintroduced.
+    # lazy localCheckpoint = reuse barrier over the signature
+    # aggregate: buckets is consumed by the hot-bucket count AND both
+    # self-join sides, so without it the per-shingle md5 aggregation
+    # re-runs per consumer (a repartition barrier does NOT work - see
+    # simhash_hamming_pairs - and the recompute measured 3.7 -> 3.1s at
+    # sf1.0, 2.3 -> 2.0s at sf0.1 against block reuse).  Durability
+    # trade as in connected_components' single-box default.
     sigs = minhash_signature_df(df, text_col, id_col, n_hashes, k,
-                                hash_fn=hash_fn)
+                                hash_fn=hash_fn).localCheckpoint(eager=False)
     # one pass: explode (band, bucket-hash) pairs instead of unioning
     # per-band branches (a union would recompute the signatures per band)
     band_structs = []
@@ -343,13 +341,19 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
     # sigs is consumed three times (hot-bucket counts + both self-join
-    # sides); the old fold-era repartition barrier is gone - with the
-    # aggregate-based signature the recompute is parallel codegen and
-    # measured best-of-N it ties the explicit barrier at sf0.1 AND
-    # sf1.0, so the simpler shape stays (a hash(id) barrier would be
-    # elided anyway: the aggregate output is already id-partitioned)
+    # sides).  A repartition reuse barrier does NOT work here - hash(id)
+    # is elided (the aggregate output is already id-partitioned) and
+    # round-robin measured no better - so the signature aggregate is
+    # lazily localCheckpoint-ed: the first consumer materializes
+    # (id, sig) into executor block storage and the other two read
+    # blocks instead of re-running the explode + md5 + 61-aggregate
+    # pass (measured 4.8 -> 4.3s at sf1.0 and 5.2 -> 3.4s at sf0.1,
+    # where Janino recompiling the wide aggregate per copy dominated).
+    # Single-box durability trade as in connected_components' default:
+    # executor loss after materialization fails the job - acceptable
+    # for an intra-query intermediate any retry recomputes from source.
     sigs = simhash64_df(df, text_col=text_col, id_col=id_col, k=k,
-                        hash_fn=hash_fn)
+                        hash_fn=hash_fn).localCheckpoint(eager=False)
     chunks = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftright(F.col("sig"), b * width)

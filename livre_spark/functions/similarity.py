@@ -534,21 +534,61 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
                        F.col("bb.band").alias("band"),
                        F.col("bb.chunk").alias("chunk")))
     if max_bucket is not None or max_bucket_factor is not None:
-        counts = (buckets.groupBy("band", "chunk")
-                  .agg(F.count("*").alias("n_ids")))
-        hot_cond = F.lit(False)
-        if max_bucket is not None:
-            hot_cond = hot_cond | (F.col("n_ids") > max_bucket)
-        if max_bucket_factor is not None:
-            # each id appears exactly once per band, so the band total IS
-            # n; the window runs over <= bands * 2^planes aggregate rows
-            band_total = F.sum("n_ids").over(Window.partitionBy("band"))
-            share = band_total * max_bucket_factor / (2 ** planes_per_band)
-            counts = counts.withColumn("uniform_cap", share)
-            hot_cond = hot_cond | (F.col("n_ids") > F.col("uniform_cap"))
-        hot = counts.filter(hot_cond).select("band", "chunk")
-        buckets = buckets.join(F.broadcast(hot), ["band", "chunk"],
-                               "left_anti")
+        # the cap needs a counting pass over buckets before the scoring
+        # pass; a lazy localCheckpoint materializes the (id, vec, band,
+        # chunk) frame once so the signature folds are not recomputed
+        # by the second consumer (same durability trade as the dedup
+        # pairs functions)
+        buckets = buckets.localCheckpoint(eager=False)
+        n_buckets = 2 ** planes_per_band
+        if bands * n_buckets <= 4096:
+            # the whole (band, chunk) count table is at most
+            # bands * 2^planes_per_band rows - collect it and inline
+            # the hot set as a literal filter instead of a
+            # counts-groupBy + per-band window + broadcast anti-join
+            # (three plan stages the main job had to wait on; the
+            # arithmetic below replays the SQL expressions op for op,
+            # so the hot set is identical to the oracle's)
+            rows = (buckets.groupBy("band", "chunk")
+                    .agg(F.count("*").alias("n_ids")).collect())
+            band_totals: dict[int, int] = {}
+            for r in rows:
+                band_totals[r["band"]] = band_totals.get(r["band"], 0) \
+                    + r["n_ids"]
+            hot_keys = []
+            for r in rows:
+                is_hot = (max_bucket is not None
+                          and r["n_ids"] > max_bucket)
+                if not is_hot and max_bucket_factor is not None:
+                    share = (band_totals[r["band"]] * max_bucket_factor
+                             / n_buckets)
+                    is_hot = r["n_ids"] > share
+                if is_hot:
+                    hot_keys.append(r["band"] * (1 << 60) + r["chunk"])
+            if hot_keys:
+                buckets = buckets.filter(
+                    ~(F.col("band").cast("long") * F.lit(1 << 60)
+                      + F.col("chunk")).isin(hot_keys))
+        else:
+            # planes_per_band sized for real scale: the count table is
+            # too wide to collect - keep the distributed shape
+            counts = (buckets.groupBy("band", "chunk")
+                      .agg(F.count("*").alias("n_ids")))
+            hot_cond = F.lit(False)
+            if max_bucket is not None:
+                hot_cond = hot_cond | (F.col("n_ids") > max_bucket)
+            if max_bucket_factor is not None:
+                # each id appears exactly once per band, so the band
+                # total IS n; the window runs over <= bands * 2^planes
+                # aggregate rows
+                band_total = F.sum("n_ids").over(Window.partitionBy("band"))
+                share = (band_total * max_bucket_factor
+                         / (2 ** planes_per_band))
+                counts = counts.withColumn("uniform_cap", share)
+                hot_cond = hot_cond | (F.col("n_ids") > F.col("uniform_cap"))
+            hot = counts.filter(hot_cond).select("band", "chunk")
+            buckets = buckets.join(F.broadcast(hot), ["band", "chunk"],
+                                   "left_anti")
     n_blocks = int(os.environ.get("LIVRE_ND_BLOCKS", "4"))
     # deterministic block per id (placement only - never in results),
     # every row replicated to each block pair it participates in
@@ -568,16 +608,22 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
                     F.col("e.side").alias("side")))
     id_type = embeddings.schema[id_col].dataType.simpleString()
     pairs = (work.groupBy("band", "chunk", "lo", "hi")
-             .applyInPandas(_block_pair_scorer(threshold),
+             .applyInPandas(_block_pair_scorer(threshold, dim),
                             schema=f"id_a {id_type}, id_b {id_type},"
                                    f" cos_sim double"))
     return pairs.distinct()
 
 
-def _block_pair_scorer(threshold: float):
+def _block_pair_scorer(threshold: float, dim: int):
     """Pandas kernel scoring one (band, chunk, block-lo, block-hi)
     group: GEMM + error-bounded candidate mask, exact sequential-fold
-    rescore of candidates (see cosine_near_dup_pairs_lsh)."""
+    rescore of candidates (see cosine_near_dup_pairs_lsh).
+
+    Precondition (as the hyperplane signatures already assume): vectors
+    are length-``dim`` with non-null elements.  Null or wrong-length
+    vectors are excluded from pairing here, mirroring the SQL fold
+    where any null element nulls the dot and the pair is filtered out.
+    """
 
     def score(pdf):
         import math
@@ -589,6 +635,10 @@ def _block_pair_scorer(threshold: float):
         empty = pd.DataFrame({"id_a": pdf["id"].iloc[0:0],
                               "id_b": pdf["id"].iloc[0:0],
                               "cos_sim": pd.Series([], dtype="float64")})
+        ok = pdf["v"].map(lambda v: v is not None and len(v) == dim)
+        pdf = pdf[ok]
+        if len(pdf) == 0:
+            return empty
         triangular = bool(pdf["lo"].iat[0] == pdf["hi"].iat[0])
         if triangular:
             a_rows = b_rows = pdf
