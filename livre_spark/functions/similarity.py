@@ -611,6 +611,12 @@ def cosine_near_dup_pairs_lsh(embeddings: DataFrame, dim: int,
              .applyInPandas(_block_pair_scorer(threshold, dim),
                             schema=f"id_a {id_type}, id_b {id_type},"
                                    f" cos_sim double"))
+    # pandas NaN crosses Arrow as NULL; the scorer never emits null, so
+    # restore the SQL fold's true NaN for zero-norm pairs (Spark and
+    # DuckDB both compare/group NaN as a greatest VALUE, not null)
+    pairs = pairs.select(
+        "id_a", "id_b",
+        F.coalesce(F.col("cos_sim"), F.lit(float("nan"))).alias("cos_sim"))
     return pairs.distinct()
 
 

@@ -446,3 +446,86 @@ def test_minhash_lsh_hot_bucket_cap_both_engines(spark):
     # uncapped control: the clique would contribute 60*59/2 pairs
     uncapped = dd.minhash_lsh_pairs(df, n_hashes=4, bands=2, k=3).count()
     assert uncapped >= 60 * 59 // 2
+
+
+# --- round-7 optimization pins: the restructured internals must stay
+# value-identical to the fold-based forms they replaced -------------------
+
+
+def test_simhash64_df_matches_fold_on_edge_docs(spark):
+    """The explode + 60-sum aggregate signature equals the per-row fold
+    on every edge shape: normal text, empty string, whitespace-only,
+    single word, and null text (null sig)."""
+    rows = [(0, "some plain words here"), (1, ""), (2, "   "),
+            (3, "word"), (4, None),
+            (5, "repeated repeated repeated unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fold = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", dd.simhash64(F.col("text"), k=1).alias("s")).collect()}
+    table = {r["id"]: r["sig"] for r in
+             dd.simhash64_df(df, k=1).collect()}
+    assert table == fold
+
+
+def test_minhash_signature_df_matches_column_fold(spark):
+    """The aggregate signatures equal the transform/array_min fold,
+    including the -1 sentinel for sub-k and null texts."""
+    rows = [(0, "the quick brown fox jumps"), (1, "too short"),
+            (2, ""), (3, None), (4, "a b c d e f g h")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fold = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(4))
+            for r in df.select(
+                "doc_id", *dd.minhash_signature(F.col("text"), 4, 3))
+            .collect()}
+    table = {r["id"]: tuple(r[f"mh{i}"] for i in range(4))
+             for r in dd.minhash_signature_df(df, "text", "doc_id", 4, 3)
+             .collect()}
+    assert table == fold
+
+
+def test_near_dup_zero_norm_pairs_keep_nan_semantics(spark):
+    """Zero vectors sign-hash into the same bucket and their cosine is
+    NaN; Spark (and DuckDB) treat NaN as greater than any threshold, so
+    the pair must be REPORTED with a NaN cos_sim - the pandas scorer
+    must preserve that, not apply Python/numpy NaN-comparison rules."""
+    import math
+
+    rows = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.2, 0.0, 0.0]), (3, [1.0, 0.0, 0.2, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+           sim.cosine_near_dup_pairs_lsh(
+               df, dim=4, threshold=0.95, bands=4,
+               planes_per_band=2).collect()}
+    assert (0, 1) in got and math.isnan(got[(0, 1)])
+    # the well-formed near-identical pair is still found and finite
+    assert (2, 3) in got and got[(2, 3)] >= 0.95
+
+
+def test_near_dup_malformed_vectors_excluded_not_fatal(spark):
+    """Null or wrong-length vectors never pair (the SQL fold nulled
+    their dot and the filter dropped them); the pandas scorer must
+    exclude them without failing the task."""
+    rows = [(0, [1.0, 0.1, 0.0, 0.0]), (1, [1.0, 0.0, 0.1, 0.0]),
+            (2, None), (3, [1.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in
+           sim.cosine_near_dup_pairs_lsh(
+               df, dim=4, threshold=0.9, bands=4,
+               planes_per_band=2).collect()}
+    assert got == {(0, 1)}
+
+
+def test_ensure_scan_parallelism_repartitions_only_when_starved(spark):
+    from livre_spark.operators.skew import ensure_scan_parallelism
+
+    cores = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame(
+        [(i,) for i in range(100)], "id long").coalesce(1)
+    widened = ensure_scan_parallelism(narrow, "id")
+    assert widened.rdd.getNumPartitions() > 1
+    assert widened.count() == 100
+    wide = spark.createDataFrame(
+        [(i,) for i in range(100)], "id long").repartition(cores + 1)
+    assert ensure_scan_parallelism(wide, "id") is wide  # no-op
