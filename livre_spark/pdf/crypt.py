@@ -339,8 +339,103 @@ def _aes_decrypt_block_fast(rkw_dec: list[list[int]], block: bytes) -> bytes:
     return ((v0 << 96) | (v1 << 64) | (v2 << 32) | v3).to_bytes(16, "big")
 
 
+def _load_libcrypto():
+    """Optional AES-CBC acceleration over the system OpenSSL libcrypto
+    (the same library hashlib already links).  Returns a configured
+    ctypes handle or None; the pure-Python AES above stays the reference
+    implementation and the fallback, and tests pin byte-equality of the
+    two paths.  No Python-package dependency is introduced."""
+    try:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("crypto")
+        if not name:
+            return None
+        lib = ctypes.CDLL(name)
+        P = ctypes.c_void_p
+        lib.EVP_CIPHER_CTX_new.restype = P
+        lib.EVP_CIPHER_CTX_free.argtypes = [P]
+        lib.EVP_aes_128_cbc.restype = P
+        lib.EVP_aes_256_cbc.restype = P
+        lib.EVP_CipherInit_ex.restype = ctypes.c_int
+        lib.EVP_CipherInit_ex.argtypes = [
+            P, P, P, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        lib.EVP_CIPHER_CTX_set_padding.argtypes = [P, ctypes.c_int]
+        lib.EVP_CipherUpdate.restype = ctypes.c_int
+        lib.EVP_CipherUpdate.argtypes = [
+            P, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.c_char_p, ctypes.c_int]
+        lib.EVP_CipherFinal_ex.restype = ctypes.c_int
+        lib.EVP_CipherFinal_ex.argtypes = [
+            P, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+        # smoke-test one known AES-128 vector (FIPS-197 C.1) before
+        # trusting the handle for real work
+        ctx = lib.EVP_CIPHER_CTX_new()
+        try:
+            key = bytes(range(16))
+            pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+            out = ctypes.create_string_buffer(32)
+            outl = ctypes.c_int(0)
+            ok = (lib.EVP_CipherInit_ex(ctx, lib.EVP_aes_128_cbc(), None,
+                                        key, b"\x00" * 16, 1)
+                  and lib.EVP_CIPHER_CTX_set_padding(ctx, 0) is not None
+                  and lib.EVP_CipherUpdate(ctx, out, ctypes.byref(outl),
+                                           pt, 16))
+            if not ok or out.raw[:16] != bytes.fromhex(
+                    "69c4e0d86a7b0430d8cdb78070b4c55a"):
+                return None
+        finally:
+            lib.EVP_CIPHER_CTX_free(ctx)
+        return lib
+    except Exception:
+        return None
+
+
+_LIBCRYPTO = _load_libcrypto()
+
+
+def _evp_aes_cbc_nopad(key: bytes, iv: bytes, data: bytes,
+                       enc: bool) -> bytes | None:
+    """One-shot AES-CBC (no padding) through libcrypto; None = caller
+    must use the pure-Python path (unavailable, unusual key size, or a
+    length EVP's nopad mode rejects)."""
+    lib = _LIBCRYPTO
+    if lib is None or len(key) not in (16, 32) or len(data) % 16:
+        return None
+    import ctypes
+
+    cipher = (lib.EVP_aes_128_cbc() if len(key) == 16
+              else lib.EVP_aes_256_cbc())
+    ctx = lib.EVP_CIPHER_CTX_new()
+    if not ctx:
+        return None
+    try:
+        if not lib.EVP_CipherInit_ex(ctx, cipher, None, key, iv,
+                                     1 if enc else 0):
+            return None
+        lib.EVP_CIPHER_CTX_set_padding(ctx, 0)
+        out = ctypes.create_string_buffer(len(data) + 16)
+        outl = ctypes.c_int(0)
+        if not lib.EVP_CipherUpdate(ctx, out, ctypes.byref(outl),
+                                    data, len(data)):
+            return None
+        n = outl.value
+        fin = ctypes.c_int(0)
+        if not lib.EVP_CipherFinal_ex(
+                ctx, ctypes.cast(ctypes.byref(out, n), ctypes.c_char_p),
+                ctypes.byref(fin)):
+            return None
+        return out.raw[: n + fin.value]
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
+
+
 def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Raw CBC encrypt, no padding, no IV prefix (Algorithm 2.B step)."""
+    fast = _evp_aes_cbc_nopad(key, iv, data, enc=True)
+    if fast is not None:
+        return fast
     rkw = _rk_words(_expand_key(key))
     out = bytearray()
     prev_i = int.from_bytes(iv, "big")
@@ -354,6 +449,9 @@ def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 
 def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    fast = _evp_aes_cbc_nopad(key, iv, data, enc=False)
+    if fast is not None:
+        return fast
     rkw_dec = _rk_words_dec(_expand_key(key))
     out = bytearray()
     prev_i = int.from_bytes(iv, "big")

@@ -499,3 +499,102 @@ def test_info_indirect_then_inline_decrypts_both(scheme):
     got = open_document(pdf).info()
     assert got == {"Author": "Anaïs (indirect)",
                    "Title": "inline after the nested build"}
+
+
+def test_aes_evp_matches_pure_python():
+    """The optional libcrypto EVP path must be byte-identical to the
+    pure-Python AES reference implementation (both key sizes, both
+    directions), and must decline inputs it cannot represent (odd key
+    size, non-block-aligned data) so the caller falls back."""
+    import random
+
+    from livre_spark.pdf import crypt
+
+    if crypt._LIBCRYPTO is None:
+        pytest.skip("system libcrypto unavailable")
+
+    def py_enc(key, iv, data):
+        rkw = crypt._rk_words(crypt._expand_key(key))
+        out = bytearray()
+        prev = int.from_bytes(iv, "big")
+        for i in range(0, len(data), 16):
+            b = (int.from_bytes(data[i:i + 16], "big") ^ prev).to_bytes(
+                16, "big")
+            e = crypt._aes_encrypt_block_fast(rkw, b)
+            prev = int.from_bytes(e, "big")
+            out += e
+        return bytes(out)
+
+    def py_dec(key, iv, data):
+        rkw = crypt._rk_words_dec(crypt._expand_key(key))
+        out = bytearray()
+        prev = int.from_bytes(iv, "big")
+        for i in range(0, len(data), 16):
+            b = data[i:i + 16]
+            p = crypt._aes_decrypt_block_fast(rkw, b)
+            out += (int.from_bytes(p, "big") ^ prev).to_bytes(16, "big")
+            prev = int.from_bytes(b, "big")
+        return bytes(out)
+
+    rnd = random.Random(1291)
+    for _ in range(40):
+        key = bytes(rnd.randrange(256)
+                    for _ in range(rnd.choice([16, 32])))
+        iv = bytes(rnd.randrange(256) for _ in range(16))
+        data = bytes(rnd.randrange(256)
+                     for _ in range(16 * rnd.randrange(0, 20)))
+        assert crypt._evp_aes_cbc_nopad(key, iv, data, True) == \
+            py_enc(key, iv, data)
+        assert crypt._evp_aes_cbc_nopad(key, iv, data, False) == \
+            py_dec(key, iv, data)
+    # unsupported shapes decline rather than guess
+    assert crypt._evp_aes_cbc_nopad(b"k" * 24, b"i" * 16, b"d" * 16,
+                                    False) is None
+    assert crypt._evp_aes_cbc_nopad(b"k" * 16, b"i" * 16, b"d" * 15,
+                                    False) is None
+
+
+def test_asciihex_decode_matches_per_byte_reference():
+    """The vectorized ASCIIHexDecode must match a per-byte reference
+    scan exactly - output bytes AND error arguments (first offending
+    byte) - across a seeded sweep of valid/invalid mixes."""
+    import random
+
+    from livre_spark.pdf.filters import _HEX, _PDF_WS, asciihex_decode
+
+    def ref(data):
+        out = bytearray()
+        hi = None
+        for c in data:
+            if c in _PDF_WS:
+                continue
+            if c == 0x3E:
+                break
+            v = _HEX.get(c)
+            if v is None:
+                raise ParseError("AsciiHexDecodeError", None, f"0x{c:02x}")
+            if hi is None:
+                hi = v
+            else:
+                out.append((hi << 4) | v)
+                hi = None
+        if hi is not None:
+            out.append(hi << 4)
+        return bytes(out)
+
+    rnd = random.Random(77)
+    good = b"0123456789abcdefABCDEF \t\n\r\x00\x0c>"
+    bad = good + b"gzq-/."
+    for t in range(800):
+        alpha = good if t % 2 else bad
+        data = bytes(rnd.choice(alpha)
+                     for _ in range(rnd.randrange(0, 80)))
+        try:
+            want, want_err = ref(data), None
+        except ParseError as e:
+            want, want_err = None, e.args
+        try:
+            got, got_err = asciihex_decode(data), None
+        except ParseError as e:
+            got, got_err = None, e.args
+        assert want == got and want_err == got_err, data
