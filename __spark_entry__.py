@@ -669,11 +669,14 @@ def q_sim_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0) \
         .select(F.col("embedding").alias("qv"))
-    return (emb.filter(F.col("vec_id") != 0)
-            .crossJoin(F.broadcast(query))
+    paired = (emb.filter(F.col("vec_id") != 0)
+              .crossJoin(F.broadcast(query))
+              .select("vec_id", "embedding", "qv"))
+    # Arrow-vectorized exact scorer (bit-identical to the interpreted
+    # fold; rounding stays in the JVM) - see sim.cosine_rows_arrow
+    return (sim.cosine_rows_arrow(paired, "embedding", "qv")
             .select("vec_id",
-                    F.round(sim.cosine(F.col("embedding"), F.col("qv")), 6)
-                    .alias("cos_sim"))
+                    F.round(F.col("cos_raw"), 6).alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
             .limit(10))
 

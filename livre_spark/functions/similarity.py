@@ -56,17 +56,158 @@ def _query_literal(query_vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in query_vec])
 
 
+def cosine_rows_arrow(df: DataFrame, a_col: str, b_col: str | None = None,
+                      out_col: str = "cos_raw",
+                      const_b: list[float] | None = None) -> DataFrame:
+    """Append ``out_col`` = the RAW (unrounded) cosine of ``a_col``
+    against either a second array column (``b_col``) or a constant
+    query vector (``const_b``), in one Arrow-vectorized pass (guide
+    §4.2).
+
+    Bit-identical to ``cosine(F.col(a_col), <b>)``: the numpy fast
+    path accumulates column-by-column, so every row sees the same IEEE
+    multiply/add sequence as the interpreted ``aggregate`` fold
+    (f32->f64 widening is exact), ``np.sqrt``/division are the same
+    correctly-rounded IEEE ops, and 0/0 stays NaN (the kernel uses
+    mapInArrow precisely so NaN survives the boundary as a VALUE, not
+    a pandas null - the round-7 near-dup lesson).  Rows the SQL fold
+    nulls out - null arrays, length mismatch (zip_with's null
+    padding), null elements - take a per-row fallback that returns
+    genuine Arrow nulls.  Rounding is deliberately left to the JVM:
+    callers apply ``F.round(out_col, 6)`` so ordering/rounding
+    semantics are untouched.  (On zero-norm rows the ANSI fold raises
+    DIVIDE_BY_ZERO while this kernel - like the DuckDB oracle and the
+    near-dup scorer - yields NaN; no testdata row hits that.)
+
+    All columns of ``df`` pass through; project before calling so the
+    vectors cross the Python boundary exactly once.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields
+                            + [StructField(out_col, DoubleType())])
+    ia = df.columns.index(a_col)
+    ib = df.columns.index(b_col) if const_b is None else None
+    qb = None if const_b is None else [float(x) for x in const_b]
+    names = df.columns + [out_col]
+
+    def fn(batches):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if qb is not None:
+            bn_q = 0.0
+            for y in qb:
+                bn_q += y * y
+            nb_q = math.sqrt(bn_q)
+
+        def mat(col, n, d=None):
+            """(n, d) float64 matrix, or None if ragged/nulls.  With
+            ``d=None`` the uniform length is derived from row 0."""
+            if col.null_count:
+                return None
+            lens = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False)
+            if d is None:
+                d = int(lens[0])
+            if not (lens == d).all():
+                return None
+            flat = col.flatten()
+            if flat.null_count:
+                return None
+            return flat.to_numpy(zero_copy_only=False) \
+                .astype(np.float64).reshape(n, d)
+
+        def fast(col_a, col_b, n):
+            """Uniform-length, no-null batches: matrixize + dim loop."""
+            if n == 0:
+                return np.empty(0)
+            ma = mat(col_a, n, len(qb) if qb is not None else None)
+            if ma is None:
+                return None
+            d = ma.shape[1]
+            if qb is None:
+                mb = mat(col_b, n, d)
+                if mb is None:
+                    return None
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            if qb is None:
+                nb = np.zeros(n)
+                for k in range(d):
+                    x = ma[:, k]
+                    y = mb[:, k]
+                    dot = dot + x * y
+                    na = na + x * x
+                    nb = nb + y * y
+                nb = np.sqrt(nb)
+            else:
+                for k in range(d):
+                    x = ma[:, k]
+                    dot = dot + x * qb[k]
+                    na = na + x * x
+                nb = nb_q
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return dot / (np.sqrt(na) * nb)
+
+        def slow(col_a, col_b, n):
+            """Per-row replay of the fold's null semantics."""
+            va_l = col_a.to_pylist()
+            vb_l = [qb] * n if qb is not None else col_b.to_pylist()
+            res = np.zeros(n)
+            mask = np.zeros(n, dtype=bool)
+            for i in range(n):
+                va, vb = va_l[i], vb_l[i]
+                if va is None or vb is None or len(va) != len(vb) \
+                        or any(x is None for x in va) \
+                        or any(y is None for y in vb):
+                    mask[i] = True
+                    continue
+                acc = 0.0
+                an = 0.0
+                bn = 0.0
+                for x, y in zip(va, vb):
+                    acc += x * y
+                    an += x * x
+                    bn += y * y
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    res[i] = np.float64(acc) / np.float64(
+                        math.sqrt(an) * math.sqrt(bn))
+            return res, mask
+
+        for batch in batches:
+            n = batch.num_rows
+            col_a = batch.column(ia)
+            col_b = batch.column(ib) if qb is None else None
+            res = fast(col_a, col_b, n)
+            if res is not None:
+                out = pa.array(res, type=pa.float64())
+            else:
+                res, mask = slow(col_a, col_b, n)
+                out = pa.array(res, type=pa.float64(), mask=mask)
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [out], names=names)
+
+    return df.mapInArrow(fn, out_schema)
+
+
 def topk_cosine(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector.
 
-    Plan shape: scan -> project (codegen) -> TakeOrderedAndProject; no
+    Plan shape: scan -> Arrow scoring map -> TakeOrderedAndProject; no
     shuffle, the top-k is merged on the driver from per-partition heaps.
+    The query vector is a kernel constant (not shipped per row);
+    rounding stays in the JVM so values match the fold bit-for-bit.
     """
-    q = _query_literal(query_vec)
-    return (embeddings
+    scored = cosine_rows_arrow(embeddings.select(F.col(id_col), vec_col),
+                               vec_col, const_b=query_vec)
+    return (scored
             .select(F.col(id_col),
-                    F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+                    F.round(F.col("cos_raw"), 6).alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), F.col(id_col))
             .limit(k))
 
@@ -105,6 +246,11 @@ def topk_cosine_many(embeddings: DataFrame, queries: DataFrame,
                 embeddings.sparkSession, ivf_path, queries, centroids,
                 k=k, n_probe=n_probe, id_col=id_col, qid_col=qid_col,
                 qvec_col=qvec_col, vec_col=vec_col)
+    # NB: routing this fold through cosine_rows_arrow measured WORSE
+    # (0.73 -> 1.13 s at 20k x 3): the crossJoin output would ship BOTH
+    # vectors per (row, query) pair across the Python boundary, where
+    # the JVM fold scores the narrow join output in place.  Kept as the
+    # interpreted fold on purpose.
     scored = (embeddings
               .crossJoin(F.broadcast(queries))
               .select(F.col(qid_col),
@@ -220,12 +366,13 @@ def topk_cosine_lsh(embeddings: DataFrame, query_vec: list[float],
         d = sum(a * b for a, b in zip(query_vec, plane))
         if d >= 0:
             q_sig += 2 ** j
-    q = _query_literal(query_vec)
-    return (embeddings
-            .withColumn("_sig", lsh_signature(F.col(vec_col), planes))
-            .filter(F.col("_sig") == q_sig)
+    cands = (embeddings
+             .withColumn("_sig", lsh_signature(F.col(vec_col), planes))
+             .filter(F.col("_sig") == q_sig)
+             .select(F.col(id_col), vec_col))
+    return (cosine_rows_arrow(cands, vec_col, const_b=query_vec)
             .select(F.col(id_col),
-                    F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+                    F.round(F.col("cos_raw"), 6).alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), F.col(id_col))
             .limit(k))
 

@@ -529,3 +529,67 @@ def test_ensure_scan_parallelism_repartitions_only_when_starved(spark):
     wide = spark.createDataFrame(
         [(i,) for i in range(100)], "id long").repartition(cores + 1)
     assert ensure_scan_parallelism(wide, "id") is wide  # no-op
+
+
+def test_cosine_rows_arrow_matches_fold(spark):
+    """The Arrow-vectorized cosine scorer must be BIT-identical to the
+    interpreted zip_with/aggregate fold on clean rows, and replicate
+    the fold's null semantics (null array, length mismatch, null
+    element) with genuine nulls.  Zero-norm rows - where the ANSI fold
+    would raise DIVIDE_BY_ZERO - must yield NaN like the DuckDB oracle
+    (the near-dup scorer's established semantics)."""
+    import math
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(31)
+    rows = [(i,
+             [rnd.uniform(-2, 2) for _ in range(16)],
+             [rnd.uniform(-1, 1) for _ in range(16)])
+            for i in range(60)]
+    rows += [
+        (100, [1e30] * 16, [1e30] * 16),
+        (101, [1e-30] * 16, [1e-30] * 16),
+        (102, [1.0] * 15, [1.0] * 16),          # ragged -> null
+        (103, None, [1.0] * 16),                # null array -> null
+        (104, [1.0] * 15 + [None], [1.0] * 16),  # null element -> null
+        (105, [float("nan")] * 16, [1.0] * 16),  # NaN propagates
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    ref = {r["id"]: r["c"] for r in
+           df.select("id", sim.cosine(F.col("a"), F.col("b")).alias("c"))
+           .collect()}
+    # both column-vs-column and column-vs-constant modes
+    got_cols = {r["id"]: r["cos_raw"] for r in
+                sim.cosine_rows_arrow(df, "a", "b").select(
+                    "id", "cos_raw").collect()}
+    qv = rows[0][2]
+    ref_const = {r["id"]: r["c"] for r in
+                 df.select("id", sim.cosine(
+                     F.col("a"), sim._query_literal(qv)).alias("c"))
+                 .collect()}
+    got_const = {r["id"]: r["cos_raw"] for r in
+                 sim.cosine_rows_arrow(df, "a", const_b=qv).select(
+                     "id", "cos_raw").collect()}
+
+    def bits(v):
+        if v is None:
+            return None
+        if math.isnan(v):
+            return b"NaN"
+        return struct.pack("<d", v)
+
+    for want, got in ((ref, got_cols), (ref_const, got_const)):
+        assert set(want) == set(got)
+        for k in want:
+            assert bits(want[k]) == bits(got[k]), (k, want[k], got[k])
+
+    # zero-norm: scorer yields NaN (oracle semantics), never raises
+    zdf = spark.createDataFrame(
+        [(0, [0.0] * 16, [1.0] * 16), (1, [], [])],
+        "id long, a array<float>, b array<float>")
+    z = {r["id"]: r["cos_raw"] for r in
+         sim.cosine_rows_arrow(zdf, "a", "b").collect()}
+    assert all(v is not None and math.isnan(v) for v in z.values())
