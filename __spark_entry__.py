@@ -1087,6 +1087,11 @@ def q_sim_pipeline_e2e(spark, sf_dir):
           .select(sim.embed_text(F.col("text"), dim=16, k=2).alias("v"))
           .first()["v"])
     q = F.array(*[F.lit(int(x)) for x in qv])
+    # NB: routing this dim-16 fold through sim.cosine_rows_arrow
+    # measured WORSE (2.0-2.2 -> 3.3-4.7 s at 50k docs, interleaved
+    # A/B): the mapInArrow boundary lands right on the embed
+    # aggregate's output and costs more than the small fold it saves.
+    # Kept interpreted on purpose.
     return (vecs.filter(F.col("doc_id") != min_id)
             .filter(sim.norm(F.col("v")) > 0)
             .select("doc_id",
