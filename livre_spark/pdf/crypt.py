@@ -38,7 +38,15 @@ PAD = bytes([
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
-    """Plain RC4 (symmetric - also used by the genpdf fixture writer)."""
+    """Plain RC4 (symmetric - also used by the genpdf fixture writer).
+
+    Routes through libcrypto's legacy-provider RC4 when available (the
+    256-step key schedule dominates the many small payloads PDF object
+    decryption makes); the pure-Python path below stays the reference
+    implementation and the fallback, equality pinned by tests."""
+    fast = _evp_rc4(key, data)
+    if fast is not None:
+        return fast
     s = list(range(256))
     j = 0
     klen = len(key)
@@ -393,6 +401,82 @@ def _load_libcrypto():
 
 
 _LIBCRYPTO = _load_libcrypto()
+
+
+def _fetch_rc4():
+    """RC4 lives in OpenSSL 3's legacy provider; fetch it once (the
+    provider handle is module-held so it stays loaded).  Returns the
+    EVP cipher handle or None, smoke-tested against the canonical
+    'Key'/'Plaintext' vector before being trusted."""
+    lib = _LIBCRYPTO
+    if lib is None:
+        return None
+    try:
+        import ctypes
+
+        lib.OSSL_PROVIDER_load.restype = ctypes.c_void_p
+        lib.OSSL_PROVIDER_load.argtypes = [ctypes.c_void_p,
+                                           ctypes.c_char_p]
+        lib.EVP_CIPHER_fetch.restype = ctypes.c_void_p
+        lib.EVP_CIPHER_fetch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+        lib.EVP_CIPHER_CTX_set_key_length.restype = ctypes.c_int
+        lib.EVP_CIPHER_CTX_set_key_length.argtypes = [
+            ctypes.c_void_p, ctypes.c_int]
+        global _LEGACY_PROVIDER
+        _LEGACY_PROVIDER = lib.OSSL_PROVIDER_load(None, b"legacy")
+        if not _LEGACY_PROVIDER:
+            return None
+        cipher = lib.EVP_CIPHER_fetch(None, b"RC4", None)
+        if not cipher:
+            return None
+        got = _evp_rc4_raw(lib, cipher, b"Key", b"Plaintext")
+        if got != bytes.fromhex("bbf316e8d940af0ad3"):
+            return None
+        return cipher
+    except Exception:
+        return None
+
+
+def _evp_rc4_raw(lib, cipher, key: bytes, data: bytes) -> bytes | None:
+    import ctypes
+
+    ctx = lib.EVP_CIPHER_CTX_new()
+    if not ctx:
+        return None
+    try:
+        if not lib.EVP_CipherInit_ex(ctx, cipher, None, None, None, 1):
+            return None
+        if not lib.EVP_CIPHER_CTX_set_key_length(ctx, len(key)):
+            return None
+        if not lib.EVP_CipherInit_ex(ctx, None, None, key, None, 1):
+            return None
+        out = ctypes.create_string_buffer(len(data) + 16)
+        outl = ctypes.c_int(0)
+        if not lib.EVP_CipherUpdate(ctx, out, ctypes.byref(outl),
+                                    data, len(data)):
+            return None
+        n = outl.value
+        fin = ctypes.c_int(0)
+        if not lib.EVP_CipherFinal_ex(
+                ctx, ctypes.cast(ctypes.byref(out, n), ctypes.c_char_p),
+                ctypes.byref(fin)):
+            return None
+        return out.raw[: n + fin.value]
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
+
+
+_LEGACY_PROVIDER = None
+_EVP_RC4 = _fetch_rc4()
+
+
+def _evp_rc4(key: bytes, data: bytes) -> bytes | None:
+    """One-shot RC4 through libcrypto; None = use the pure-Python path
+    (unavailable, or a key the provider rejects)."""
+    if _EVP_RC4 is None or not key:
+        return None
+    return _evp_rc4_raw(_LIBCRYPTO, _EVP_RC4, key, data)
 
 
 def _evp_aes_cbc_nopad(key: bytes, iv: bytes, data: bytes,

@@ -598,3 +598,41 @@ def test_asciihex_decode_matches_per_byte_reference():
         except ParseError as e:
             got, got_err = None, e.args
         assert want == got and want_err == got_err, data
+
+
+def test_rc4_evp_matches_pure_python():
+    """The optional libcrypto legacy-provider RC4 path must match the
+    pure-Python reference byte-for-byte across key sizes (PDF uses
+    5-16 byte keys; sweep 1-32) and payload sizes including empty."""
+    import random
+
+    from livre_spark.pdf import crypt
+
+    if crypt._EVP_RC4 is None:
+        pytest.skip("libcrypto legacy RC4 unavailable")
+
+    def ref(key, data):
+        s = list(range(256))
+        j = 0
+        klen = len(key)
+        for i in range(256):
+            j = (j + s[i] + key[i % klen]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+        out = bytearray(len(data))
+        i = j = 0
+        for n, ch in enumerate(data):
+            i = (i + 1) & 0xFF
+            j = (j + s[i]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+            out[n] = ch ^ s[(s[i] + s[j]) & 0xFF]
+        return bytes(out)
+
+    rnd = random.Random(9)
+    for _ in range(120):
+        key = bytes(rnd.randrange(256)
+                    for _ in range(rnd.randrange(1, 33)))
+        data = bytes(rnd.randrange(256)
+                     for _ in range(rnd.randrange(0, 200)))
+        assert crypt.rc4(key, data) == ref(key, data)
+    assert crypt.rc4(b"Key", b"Plaintext") == \
+        bytes.fromhex("bbf316e8d940af0ad3")
