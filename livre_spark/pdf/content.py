@@ -46,11 +46,11 @@ def fmt_f32(value) -> str:
     return np.format_float_positional(v, unique=True, trim="-")
 
 
-def _f32(buf: bytes, pos: int):
-    """Operand reals stay raw Python floats here; every *use* site casts
-    through numpy float32 (matrix math, display, kerning), so the f32
-    semantics are identical while parsing avoids 100k+ np-scalar boxes."""
-    return ob.parse_real(buf, pos)
+# Operand reals stay raw Python floats here; every *use* site casts
+# through numpy float32 (matrix math, display, kerning), so the f32
+# semantics are identical while parsing avoids 100k+ np-scalar boxes.
+# Direct alias (no wrapper frame - this is called ~100/doc).
+_f32 = ob.parse_real
 
 
 def _rendering_mode(buf: bytes, pos: int):
@@ -286,14 +286,22 @@ class _Matrix:
         self.e = 0.0; self.f = 0.0
 
     def set(self, a, b, c, d, e, f):
+        # _r32 inlined (u(p(x))[0]): 6 fewer call frames per set, same ops
+        u = _f32_unpack; p = _f32_pack
         self.a, self.b, self.c, self.d, self.e, self.f = (
-            _r32(a), _r32(b), _r32(c), _r32(d), _r32(e), _r32(f))
+            u(p(a))[0], u(p(b))[0], u(p(c))[0],
+            u(p(d))[0], u(p(e))[0], u(p(f))[0])
 
     def move_to(self, x, y):
-        # e' = a*x + c*y + e with f32 rounding after each op
-        x = _r32(x); y = _r32(y)
-        self.e = _r32(_r32(_r32(self.a * x) + _r32(self.c * y)) + self.e)
-        self.f = _r32(_r32(_r32(self.b * x) + _r32(self.d * y)) + self.f)
+        # e' = a*x + c*y + e with f32 rounding after each op; _r32
+        # inlined (u(p(x))[0]) - measured ~21% off this hot method,
+        # bit-identical (same pack/unpack sequence, no call frames)
+        u = _f32_unpack; p = _f32_pack
+        x = u(p(x))[0]; y = u(p(y))[0]
+        self.e = u(p(u(p(u(p(self.a * x))[0]
+                         + u(p(self.c * y))[0]))[0] + self.e))[0]
+        self.f = u(p(u(p(u(p(self.b * x))[0]
+                         + u(p(self.d * y))[0]))[0] + self.f))[0]
 
     def position(self):
         return self.e, self.f
